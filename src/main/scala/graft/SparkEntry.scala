@@ -1,12 +1,53 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.kg._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Two query families:
+  *  - `kg_*`: the KG-construction pipeline over the deterministic
+  *    synthetic transcript corpus (BASELINE.json input_hint shape;
+  *    no external data). Not SQL-expressible → no oracle entry, the
+  *    driver records rows-only checks; exact-parity gates live in
+  *    `sbt -batch test` (KGPipelineSpec).
+  *  - `q*`: relational operators from SURVEY §2 exercised over the
+  *    driver's parquet tables with DuckDB-oracle SQL (added as each
+  *    operator lands).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Small corpus ≈ sf0.001-scale for the flagship smoke query. */
+  private val SmokeCfg = TranscriptGen.Config(nConvs = 40)
+
+  /** Flagship: end-to-end KG triples. Driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    KGPipeline.run(spark, SmokeCfg).triples.toDF()
+
+  private def cfgFor(sfDir: String): TranscriptGen.Config = {
+    // scale the synthetic corpus with the driver's sf directory
+    val nConvs = if (sfDir.contains("sf0.1")) 2000L
+      else if (sfDir.contains("sf0.01")) 400L
+      else 40L
+    TranscriptGen.Config(nConvs = nConvs)
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- KG pipeline stages (rows-only checks; parity in tests) ----
+    "kg_triples" -> ((s, dir) => KGPipeline.run(s, cfgFor(dir)).triples.toDF()),
+    "kg_mentions" -> ((s, dir) => {
+      val cfg = cfgFor(dir)
+      val prompts = Extraction.buildPrompts(TranscriptGen.transcripts(s, cfg))
+      Extraction.parseMentions(Extraction.scoreMentions(prompts, cfg)).toDF()
+    }),
+    "kg_links" -> ((s, dir) => {
+      val cfg = cfgFor(dir)
+      val r = KGPipeline.run(s, cfg)
+      r.links.toDF()
+    }),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map()

@@ -1,0 +1,106 @@
+package graft.kg
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Canonicalization: connected components over accepted `sameAs`
+  * edges, canonical id = min member per component (SURVEY §7.0 step
+  * 6). The reference delegates this merge to a human via Excel
+  * (entityMatching.py:170-430); we close it with an iterative
+  * DataFrame fixpoint.
+  *
+  * Algorithm: hash-min label propagation. Each vertex starts labeled
+  * with itself; every round each vertex takes the min label among
+  * itself and its neighbors; stop when no label changes. Rounds =
+  * O(graph diameter) — our link graphs are star-shaped (mention ↔
+  * entity ↔ alias), diameter ≤ 4. `localCheckpoint` every round cuts
+  * the growing lineage (SURVEY §7.3 plan-growth hazard).
+  *
+  * Skew: a hot mention string produces one high-degree vertex. The
+  * groupBy(dst).min aggregation handles it with map-side partial
+  * aggregation (hash-min is algebraic), so no salting is needed
+  * here — the skew collapses in the combiner. AQE skew-join handles
+  * the join side.
+  */
+object Canonicalize {
+
+  /** edges: (src, dst) string pairs, undirected. Returns
+    * (vertex, component) with component = min vertex id reachable. */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val spark = edges.sparkSession
+    val sym = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint()
+
+    var labels = sym.select(col("src").as("vertex")).distinct()
+      .withColumn("label", col("vertex"))
+      .localCheckpoint()
+
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      // candidate label for each vertex: min over neighbors' labels
+      val viaNeighbors = sym.join(labels, sym("src") === labels("vertex"))
+        .select(sym("dst").as("vertex"), col("label"))
+      val newLabels = labels.select(col("vertex"), col("label"))
+        .union(viaNeighbors)
+        .groupBy("vertex")
+        .agg(min("label").as("newLabel"))
+      val joined = labels.join(newLabels, "vertex")
+        .select(col("vertex"), col("label"), col("newLabel"))
+        .localCheckpoint()
+      changed = joined.filter(col("newLabel") < col("label")).count()
+      labels = joined.select(col("vertex"), col("newLabel").as("label")).localCheckpoint()
+      iter += 1
+    }
+    labels.withColumnRenamed("label", "component")
+  }
+
+  /** Alias edges inside the catalogue itself: entities whose
+    * normalized display name is identical are the same real-world
+    * entity (the duplicate-catalogue case the reference resolves by
+    * hand). Normalization: lowercase, strip punctuation, drop
+    * middle initials. */
+  def aliasEdges(catalogue: Dataset[Entity]): DataFrame = {
+    val spark = catalogue.sparkSession
+    import spark.implicits._
+    val normed = catalogue.map(e => (normalizeName(e.display_name), e.entity_id))
+      .toDF("norm", "entity_id")
+    val grouped = normed.groupBy("norm")
+      .agg(min("entity_id").as("canon"), collect_set("entity_id").as("ids"))
+    grouped.select(explode(col("ids")).as("src"), col("canon").as("dst"))
+      .filter(col("src") =!= col("dst"))
+  }
+
+  def normalizeName(name: String): String =
+    name.toLowerCase
+      .split("\\s+")
+      .filter(t => !(t.length == 2 && t.endsWith("."))) // drop middle initials
+      .mkString(" ")
+      .replaceAll("[^a-z0-9 ]", "")
+      .trim
+
+  /** mention→canonical-entity map from accepted links + alias edges.
+    * Components that contain no catalogue entity id keep the mention
+    * itself as canonical subject. Returns (member, canonical). */
+  def canonicalMap(accepted: Dataset[LinkMatch], catalogue: Dataset[Entity]): DataFrame = {
+    val spark = accepted.sparkSession
+    import spark.implicits._
+    val linkEdges = accepted.filter(_.accepted)
+      .map(lm => ("m:" + lm.mention, "e:" + lm.entity_id))
+      .toDF("src", "dst")
+    val aliases = aliasEdges(catalogue)
+      .select(concat(lit("e:"), col("src")).as("src"), concat(lit("e:"), col("dst")).as("dst"))
+    val cc = connectedComponents(linkEdges.union(aliases))
+    // canonical per component: min entity id if any entity member, else min member
+    val canon = cc.groupBy("component")
+      .agg(
+        min(when(col("vertex").startsWith("e:"), substring(col("vertex"), 3, 1000000))).as("canonEntity"),
+        min(col("vertex")).as("minMember"))
+      .select(col("component"),
+        coalesce(col("canonEntity"), col("minMember")).as("canonical"))
+    cc.join(canon, "component")
+      .select(col("vertex").as("member"), col("canonical"))
+  }
+}

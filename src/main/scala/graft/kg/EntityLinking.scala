@@ -1,0 +1,154 @@
+package graft.kg
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.{Hashing, StringSim}
+
+/** Entity linking: mention strings → catalogue entities, reproducing
+  * `EntityMatching` exactly (ketl/mongo/entityMatching.py:29-94):
+  * Jaro-Winkler top-k proposals, margin confidence `2*s1 − s2`
+  * (`:87`), global min-max normalization (`:90-92`), and the 0.6
+  * auto-accept threshold (`:22,199` — the human Excel loop replaced
+  * by threshold accept per SURVEY §3.2).
+  *
+  * Scale design: the catalogue is the SMALL side → broadcast it once
+  * and compute each mention's top-k in a single mapPartitions pass
+  * (no shuffle, no M× row explosion — the Spark-native form of the
+  * reference's full cross product). Before scoring, mentions are
+  * deduplicated by string (`groupBy value` with provenance counts,
+  * mirroring myMongoClient.py:62-75) — the hot-entity skew therefore
+  * collapses into ONE scored row per distinct string, and the global
+  * normalization is a 1-row aggregate joined back (the one
+  * intentional barrier, SURVEY §7.3).
+  *
+  * For catalogues too big to broadcast, `candidateBlocks` gives the
+  * blocking-key equi-join path of the north rule (normalized first
+  * char + length band + char-bigram band keys).
+  */
+object EntityLinking {
+
+  val NbPropositions = 4
+  val ConfidenceThresh = 0.6
+
+  /** Distinct mention strings (PERSON/ORG only — the linkable types)
+    * with occurrence counts as provenance. */
+  def valuesToMatch(mentions: Dataset[Mention]): Dataset[(String, Long)] = {
+    import mentions.sparkSession.implicits._
+    mentions
+      .filter(m => m.tag == "PERSON" || m.tag == "ORG")
+      .groupByKey(_.mention)
+      .count()
+  }
+
+  /** Broadcast top-k scoring: per distinct mention, Jaro-Winkler vs
+    * every catalogue entity, keep NB_PROPOSITIONS best, ties broken
+    * by ascending entity_id (deterministic; the reference inherits
+    * pandas' stable sort order). */
+  def proposals(values: Dataset[(String, Long)], catalogue: Array[Entity]): Dataset[LinkProposal] = {
+    val spark = values.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(catalogue.sortBy(_.entity_id))
+    values.mapPartitions { it =>
+      val ents = bc.value
+      it.flatMap { case (mention, _) =>
+        val scored = ents.map(e => (e, StringSim.jaroWinkler(mention, e.display_name)))
+        val top = scored.sortBy { case (e, s) => (-s, e.entity_id) }.take(NbPropositions)
+        top.zipWithIndex.map { case ((e, s), rank) =>
+          LinkProposal(mention, e.entity_id, e.display_name, s, rank + 1)
+        }
+      }
+    }
+  }
+
+  /** Margin confidence + global min-max normalization + accept
+    * (entityMatching.py:82-94). Exact semantics:
+    *   conf   = 1 if s1 == 1 else 2*s1 − s2
+    *   min_   = min over ALL proposal scores (all ranks)
+    *   max_   = max over confidences
+    *   norm   = 1 if conf == 1 else (conf − min_)/(max_ + 0.05 − min_)
+    *   accept = norm > 0.6 (top-1 proposal only)
+    */
+  def matches(props: Dataset[LinkProposal]): Dataset[LinkMatch] = {
+    val spark = props.sparkSession
+    import spark.implicits._
+
+    val perMention = props
+      .groupByKey(_.mention)
+      .mapGroups { (mention, it) =>
+        val ps = it.toSeq.sortBy(_.rank)
+        val s1 = ps.head.jaro_score
+        val s2 = if (ps.length > 1) ps(1).jaro_score else 0.0
+        val conf = if (s1 == 1.0) 1.0 else 2 * s1 - s2
+        (mention, ps.head.entity_id, ps.head.entity_name, s1, conf,
+          ps.map(_.jaro_score).min)
+      }
+      .toDF("mention", "entity_id", "entity_name", "jaro_score", "raw_conf", "min_prop_score")
+
+    // the intentional global barrier: 1-row aggregate, crossJoined back
+    val stats = perMention.agg(
+      min(col("min_prop_score")).as("min_"),
+      max(col("raw_conf")).as("max_"))
+
+    perMention.crossJoin(broadcast(stats))
+      .withColumn("confidence",
+        when(col("raw_conf") === 1.0, 1.0)
+          .otherwise((col("raw_conf") - col("min_")) / (col("max_") + 0.05 - col("min_"))))
+      .withColumn("accepted", col("confidence") > ConfidenceThresh)
+      .select("mention", "entity_id", "entity_name", "jaro_score", "confidence", "accepted")
+      .as[LinkMatch]
+  }
+
+  /** Full linking pass over a mention set. */
+  def link(mentions: Dataset[Mention], catalogue: Array[Entity]): Dataset[LinkMatch] =
+    matches(proposals(valuesToMatch(mentions), catalogue))
+
+  // ------------------------------------------------------------------
+  // Blocking-key candidate generation (north rule) for catalogues too
+  // large to broadcast: a mention and an entity are candidates iff
+  // they share ≥1 block key. Keys: normalized first char, length band,
+  // and the 2 smallest char-bigram hashes (cheap LSH-ish band).
+  // ------------------------------------------------------------------
+
+  def blockKeys(s: String): Seq[Long] = {
+    val norm = s.toLowerCase.trim
+    if (norm.isEmpty) return Seq(0L)
+    val first = Hashing.hash64("f:" + norm.charAt(0))
+    val lenBand = Hashing.hash64("l:" + (norm.length / 4))
+    val bigrams = graft.functions.TextAnalytics.charNgrams(norm, 2)
+      .map(g => Hashing.hash64("b:" + g)).sorted.take(2)
+    (Seq(first, lenBand) ++ bigrams).distinct
+  }
+
+  /** Candidate pairs via exploded block keys + equi-join; dedup by
+    * (mention, entity). The downstream scoring/top-k is shared with
+    * the broadcast path. */
+  def candidateBlocks(values: Dataset[(String, Long)], catalogue: Dataset[Entity]): Dataset[(String, Entity)] = {
+    val spark = values.sparkSession
+    import spark.implicits._
+    val mentionKeys = values.flatMap { case (m, _) => blockKeys(m).map(k => (k, m)) }
+      .toDF("bkey", "mention")
+    val entityKeys = catalogue.flatMap(e => blockKeys(e.display_name).map(k => (k, e)))
+      .toDF("bkey", "entity")
+    mentionKeys.join(entityKeys, "bkey")
+      .select(col("mention"), col("entity.entity_id"), col("entity.display_name"), col("entity.entity_type"))
+      .distinct()
+      .as[(String, String, String, String)]
+      .map { case (m, id, name, tpe) => (m, Entity(id, name, tpe)) }
+  }
+
+  /** Blocked variant of proposals: same top-k semantics but only over
+    * block-sharing candidates (recall < 1 by design; tested on the
+    * fixture catalogue). */
+  def proposalsBlocked(values: Dataset[(String, Long)], catalogue: Dataset[Entity]): Dataset[LinkProposal] = {
+    val spark = values.sparkSession
+    import spark.implicits._
+    candidateBlocks(values, catalogue)
+      .map { case (m, e) => (m, e.entity_id, e.display_name, StringSim.jaroWinkler(m, e.display_name)) }
+      .toDF("mention", "entity_id", "entity_name", "jaro_score")
+      .withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy("mention").orderBy(col("jaro_score").desc, col("entity_id"))))
+      .filter(col("rank") <= NbPropositions)
+      .as[LinkProposal]
+  }
+}

@@ -1,0 +1,99 @@
+package graft.kg
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** End-to-end KG construction (SURVEY.md §7.0): transcripts →
+  * ordered turns → batched mention scorer → parse → verify →
+  * relations → entity linking → canonicalization → (subj, pred, obj)
+  * triples. Every stage keys on (conv_id, turn_idx) so the north
+  * rule's stable turn ordering holds under any shuffle.
+  *
+  * Triple vocabulary:
+  *  - turn-level:   (conv_id#turn_idx, mentions_<TAG>, obj)
+  *  - entity-level: (subj_entity, pred, obj_entity) for relations
+  * where obj/subj_entity is the canonical catalogue entity id when
+  * the surface form linked (accepted) — else the surface string
+  * (GPE locations stay textual).
+  */
+object KGPipeline {
+
+  final case class Result(
+      turns: Dataset[Turn],
+      prompts: Dataset[Prompt],
+      mentions: Dataset[Mention],
+      verified: Dataset[Mention],
+      relations: Dataset[Relation],
+      links: Dataset[LinkMatch],
+      canonicalMap: DataFrame, // (member, canonical)
+      triples: Dataset[Triple])
+
+  def run(spark: SparkSession, cfg: TranscriptGen.Config): Result =
+    run(spark, TranscriptGen.transcripts(spark, cfg), cfg)
+
+  def run(spark: SparkSession, turns: Dataset[Turn], cfg: TranscriptGen.Config): Result = {
+    import spark.implicits._
+
+    // 1-2. order is carried by (conv_id, turn_idx) keys; prompts with
+    //      brace/empty/oversized drop semantics
+    val prompts = Extraction.buildPrompts(turns)
+
+    // 2. batched mention scorer + discussion-format parse
+    val scored = Extraction.scoreMentions(prompts, cfg)
+    val mentions = Extraction.parseMentions(scored)
+
+    // 4. verification (kept before linking, like the reference's
+    //    verifier runs inside run_prompt, pt_abstract.py:62-67)
+    val verified = Extraction.verifyMentions(mentions, turns, cfg).cache()
+
+    // 3. relations from the two-stage chain over verified mentions
+    val relations = Extraction.extractRelations(scored, verified, cfg)
+
+    // 5. entity linking against the broadcast catalogue
+    val catalogue = Lexicon.catalogue.toArray
+    val links = EntityLinking.link(verified, catalogue).cache()
+
+    // 6. canonicalization (CC over accepted links + catalogue aliases)
+    val canon = Canonicalize.canonicalMap(links, TranscriptGen.entities(spark))
+      .cache()
+
+    // 7. triple materialization
+    val triples = materializeTriples(verified, relations, canon)
+
+    Result(turns, prompts, mentions, verified, relations, links, canon, triples)
+  }
+
+  /** Maps a surface form through the canonical map (members are
+    * prefixed "m:"); non-linked surfaces stay themselves. Broadcast
+    * join: the canonical map is |distinct linkable mentions| +
+    * |catalogue| rows — small relative to the mention stream. */
+  def materializeTriples(verified: Dataset[Mention], relations: Dataset[Relation],
+                         canon: DataFrame): Dataset[Triple] = {
+    val spark = verified.sparkSession
+    import spark.implicits._
+
+    val canonM = broadcast(
+      canon.filter(col("member").startsWith("m:"))
+        .select(expr("substring(member, 3)").as("surface"), col("canonical")))
+
+    val mentionTriples = verified.toDF()
+      .join(canonM, verified("mention") === canonM("surface"), "left_outer")
+      .select(
+        concat(col("conv_id"), lit("#"), col("turn_idx")).as("subj"),
+        concat(lit("mentions_"), col("tag")).as("pred"),
+        coalesce(col("canonical"), col("mention")).as("obj"))
+
+    val rel = relations.toDF()
+    val relTriples = rel
+      .join(canonM.withColumnRenamed("surface", "s_surface").withColumnRenamed("canonical", "s_canon"),
+        rel("subj") === col("s_surface"), "left_outer")
+      .join(canonM.withColumnRenamed("surface", "o_surface").withColumnRenamed("canonical", "o_canon"),
+        rel("obj") === col("o_surface"), "left_outer")
+      .select(
+        coalesce(col("s_canon"), rel("subj")).as("subj"),
+        rel("pred").as("pred"),
+        coalesce(col("o_canon"), rel("obj")).as("obj"))
+
+    mentionTriples.union(relTriples).distinct().as[Triple]
+  }
+}

@@ -1,0 +1,132 @@
+package graft.kg
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.{Encoder, Encoders}
+
+/** Evaluation metrics reproducing the reference's scoring exactly
+  * (ner/process_results.py:95-116 + sklearn weighted
+  * precision_recall_fscore_support with zero_division=0).
+  */
+object Metrics {
+
+  /** Per-turn prediction/gold alignment — the dict-keyed full-outer
+    * merge of get_metrics_all (process_results.py:95-108):
+    *   gold_nes    = dict(gold)               (last tag wins per mention)
+    *   res_san     = predictions with tag != 'None'
+    *   results_nes = dict(res_san)
+    *   rows        = res_san ++ gold rows whose mention ∉ results_nes
+    *   y_true(n)   = gold_nes.get(mention, 'None')
+    *   y_pred(n)   = results_nes.get(mention, 'None')
+    * Implemented as a cogroup per (conv_id, turn_idx); inside a group
+    * the rows are sorted by (mention, tag) for determinism (the
+    * reference relies on Python list order; only duplicate-mention
+    * multi-tag rows could differ, and scoring is dict-keyed anyway).
+    */
+  def align(pred: Dataset[Mention], gold: Dataset[Mention]): Dataset[(String, String)] = {
+    val spark = pred.sparkSession
+    import spark.implicits._
+    pred.groupByKey(m => (m.conv_id, m.turn_idx))
+      .cogroup(gold.groupByKey(m => (m.conv_id, m.turn_idx))) { case (_, ps, gs) =>
+        val results = ps.map(m => (m.mention, m.tag)).toList.sortBy(identity)
+        val goldL = gs.map(m => (m.mention, m.tag)).toList.sortBy(identity)
+        val goldNes = goldL.toMap
+        val resSan = results.filter(_._2 != "None")
+        val resultsNes = resSan.toMap
+        val rows = resSan ++ goldL.filter { case (m, _) => !resultsNes.contains(m) }
+        rows.map { case (mention, _) =>
+          (goldNes.getOrElse(mention, "None"), resultsNes.getOrElse(mention, "None"))
+        }
+      }
+  }
+
+  final case class PRF(precision: Double, recall: Double, f1: Double, support: Long)
+
+  /** Weighted P/R/F1 over (y_true, y_pred) label pairs — exactly
+    * sklearn's average='weighted', zero_division=0
+    * (process_results.py:113): per-label metrics weighted by y_true
+    * support; labels = every label present in y_true (support-0
+    * labels carry weight 0). The heavy part (pair counting) is a
+    * distributed groupBy; only the ≤(|tags|+1)² count matrix is
+    * collected. */
+  def weightedPRF(pairs: Dataset[(String, String)]): PRF = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val counts = pairs.groupByKey(identity).count().collect()
+    prfFromCounts(counts.map { case ((t, p), c) => (t, p, c) })
+  }
+
+  def prfFromCounts(counts: Seq[(String, String, Long)]): PRF = {
+    val byTrue = counts.groupBy(_._1).map { case (l, cs) => l -> cs.map(_._3).sum }
+    val byPred = counts.groupBy(_._2).map { case (l, cs) => l -> cs.map(_._3).sum }
+    val diag = counts.collect { case (t, p, c) if t == p => t -> c }.toMap
+    val labels = byTrue.keySet
+    var num_p, num_r, num_f = 0.0
+    var totalSupport = 0L
+    labels.foreach { l =>
+      val support = byTrue(l)
+      val tp = diag.getOrElse(l, 0L).toDouble
+      val predTotal = byPred.getOrElse(l, 0L).toDouble
+      val p = if (predTotal == 0) 0.0 else tp / predTotal
+      val r = if (support == 0) 0.0 else tp / support
+      val f = if (p + r == 0) 0.0 else 2 * p * r / (p + r)
+      num_p += support * p; num_r += support * r; num_f += support * f
+      totalSupport += support
+    }
+    if (totalSupport == 0) PRF(0, 0, 0, 0)
+    else PRF(num_p / totalSupport, num_r / totalSupport, num_f / totalSupport, totalSupport)
+  }
+
+  /** The same weighted-F1 as a typed Aggregator (UDAF surface,
+    * SURVEY §2.9): buffer = pair-count map, merge = map union. */
+  class WeightedF1Agg extends Aggregator[(String, String), Map[(String, String), Long], Double] {
+    def zero: Map[(String, String), Long] = Map.empty
+    def reduce(b: Map[(String, String), Long], a: (String, String)): Map[(String, String), Long] =
+      b.updated(a, b.getOrElse(a, 0L) + 1L)
+    def merge(b1: Map[(String, String), Long], b2: Map[(String, String), Long]): Map[(String, String), Long] =
+      b2.foldLeft(b1) { case (acc, (k, v)) => acc.updated(k, acc.getOrElse(k, 0L) + v) }
+    def finish(b: Map[(String, String), Long]): Double =
+      prfFromCounts(b.toSeq.map { case ((t, p), c) => (t, p, c) }).f1
+    def bufferEncoder: Encoder[Map[(String, String), Long]] =
+      Encoders.kryo[Map[(String, String), Long]]
+    def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
+  /** Set-based triple precision/recall (the north rule's P/R≥0.95
+    * gate): exact set intersection via joins. */
+  def triplePR(pred: Dataset[Triple], gold: Dataset[Triple]): PRF = {
+    val spark = pred.sparkSession
+    import spark.implicits._
+    val p = pred.distinct().cache()
+    val g = gold.distinct().cache()
+    val nP = p.count()
+    val nG = g.count()
+    val inter = p.joinWith(g,
+      p("subj") === g("subj") && p("pred") === g("pred") && p("obj") === g("obj"),
+      "inner").count()
+    val precision = if (nP == 0) 0.0 else inter.toDouble / nP
+    val recall = if (nG == 0) 0.0 else inter.toDouble / nG
+    val f1 = if (precision + recall == 0) 0.0 else 2 * precision * recall / (precision + recall)
+    p.unpersist(); g.unpersist()
+    PRF(precision, recall, f1, nG)
+  }
+
+  /** Student-t 95% confidence interval over repeated-run scores
+    * (ner/utils.py:92-118, consumed at ResultInstance.py:75-87).
+    * Two-sided 0.975 quantiles for small df, hardcoded (the reference
+    * calls scipy). */
+  private val T975 = Array(Double.NaN, 12.706, 4.303, 3.182, 2.776, 2.571,
+    2.447, 2.365, 2.306, 2.262, 2.228, 2.201, 2.179, 2.160, 2.145, 2.131,
+    2.120, 2.110, 2.101, 2.093, 2.086, 2.080, 2.074, 2.069, 2.064, 2.060,
+    2.056, 2.052, 2.048, 2.045, 2.042)
+
+  def tConfidenceInterval(xs: Seq[Double]): (Double, Double, Double) = {
+    val n = xs.length
+    val mean = xs.sum / n
+    if (n < 2) return (mean, mean, mean)
+    val sd = math.sqrt(xs.map(x => (x - mean) * (x - mean)).sum / (n - 1))
+    val t = if (n - 1 < T975.length) T975(n - 1) else 1.96
+    val half = t * sd / math.sqrt(n)
+    (mean, mean - half, mean + half)
+  }
+}

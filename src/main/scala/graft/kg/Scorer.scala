@@ -1,0 +1,123 @@
+package graft.kg
+
+import graft.functions.Hashing
+
+/** Deterministic stand-in for the reference's per-row LLM calls
+  * (SURVEY.md §2.8). The reference itself ships the precedent: the
+  * `NoLLM` model returning a constant response
+  * (llm/LLMModel.py:392-406). Ours is content-seeded: every response
+  * is a pure function of (conv_id, turn_idx, text) — never of
+  * partition id or row order — so outputs are bit-reproducible at any
+  * parallelism.
+  *
+  * The scorer speaks the reference's own wire formats so the
+  * extraction stages exercise the real parsers end-to-end:
+  *  - mention detection answers in the `discussion` tuple-list format
+  *    (pt_discussion.py:41-59);
+  *  - relation extraction answers in the `filing` dict format
+  *    (pt_filing.py:48-75), the two-stage chain shape of
+  *    pt_multi_pt.py:81-90;
+  *  - verification answers yes/no (verifier.py:26-31).
+  *
+  * A deterministic per-mille of turns get malformed (truncated)
+  * responses to exercise the parsers' fallback-to-empty paths; these
+  * are the recall cost the P/R≥0.95 gate budgets for (FIXTURES.md §5).
+  *
+  * Heavy lifting (the surface-form matcher) is built ONCE per
+  * partition inside `mapPartitions` — the batching that replaces the
+  * reference's sequential per-sentence loop (llm/LLMModel.py:87-91).
+  */
+object Scorer {
+
+  /** Per-partition compiled matcher: surface forms sorted
+    * longest-first; greedy non-overlapping longest match with word
+    * boundaries. Small lexicon → linear scan per form is fine; the
+    * point is the per-partition (not per-row) construction. */
+  final class Matcher(forms: IndexedSeq[(String, String, String)]) {
+    def findMentions(text: String): List[(String, String)] = {
+      if (text.isEmpty) return Nil
+      val claimed = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+      val found = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String)]
+      forms.foreach { case (surface, _, tag) =>
+        var from = 0
+        var idx = text.indexOf(surface, from)
+        while (idx >= 0) {
+          val end = idx + surface.length
+          val boundedLeft = idx == 0 || !text.charAt(idx - 1).isLetterOrDigit
+          val boundedRight = end >= text.length || !text.charAt(end).isLetterOrDigit
+          val overlaps = claimed.exists { case (s, e) => idx < e && s < end }
+          if (boundedLeft && boundedRight && !overlaps) {
+            claimed += ((idx, end))
+            found += ((idx, surface, tag))
+          }
+          from = idx + 1
+          idx = text.indexOf(surface, from)
+        }
+      }
+      found.sortBy(_._1).map { case (_, s, t) => (s, t) }.toList
+    }
+  }
+
+  def newMatcher(): Matcher = new Matcher(Lexicon.surfaceForms)
+
+  private def pyStr(s: String): String = "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+  private def noisy(convId: String, turnIdx: Int, text: String, salt: Long, perMille: Int, seed: Long): Boolean =
+    Hashing.bucket(Hashing.hash64(s"$convId#$turnIdx#$text", seed ^ salt), 1000) < perMille
+
+  /** Mention-detection response in discussion tuple-list format. */
+  def mentionResponse(m: Matcher, convId: String, turnIdx: Int, text: String, cfg: TranscriptGen.Config): String = {
+    val mentions = m.findMentions(text)
+    val body = mentions.map { case (ne, tag) => s"(${pyStr(ne)}, ${pyStr(tag)})" }.mkString("[", ", ", "]")
+    if (noisy(convId, turnIdx, text, 0x1001, cfg.scorerNoisePerMille, cfg.seed)) {
+      // truncated mid-list: the discussion parser finds no closer → []
+      val full = s"Sure, here are the entities: $body"
+      full.substring(0, math.max(10, full.length / 2)).stripSuffix(")]")
+    } else {
+      s"The named entities are: $body <end_output>"
+    }
+  }
+
+  val RelationPreds: Set[String] = Set("works_for", "visited", "located_in", "met", "acquired")
+
+  /** Relation response in filing dict format, derived from the turn
+    * text plus the stage-1 mention list (two-stage chain). Values are
+    * "subj -> obj" strings the relation parser splits. */
+  def relationResponse(convId: String, turnIdx: Int, text: String,
+                       mentions: Seq[(String, String)], cfg: TranscriptGen.Config): String = {
+    val persons = mentions.filter(_._2 == "PERSON").map(_._1)
+    val orgs = mentions.filter(_._2 == "ORG").map(_._1)
+    val gpes = mentions.filter(_._2 == "GPE").map(_._1)
+    val rels = scala.collection.mutable.ArrayBuffer.empty[(String, String, String)]
+    if (text.contains(" from ") && text.contains(" visited ")) {
+      for (p <- persons.headOption; o <- orgs.headOption) rels += (("works_for", p, o))
+      for (p <- persons.headOption; l <- gpes.headOption) rels += (("visited", p, l))
+    }
+    if (text.contains("opened a new office in"))
+      for (o <- orgs.headOption; l <- gpes.headOption) rels += (("located_in", o, l))
+    if (text.contains(" met ") && persons.length >= 2)
+      rels += (("met", persons(0), persons(1)))
+    if (text.contains(" joined "))
+      for (p <- persons.headOption; o <- orgs.headOption) rels += (("works_for", p, o))
+    if (text.contains(" acquired ") && orgs.length >= 2)
+      rels += (("acquired", orgs(0), orgs(1)))
+
+    val byPred = rels.groupBy(_._1).toSeq.sortBy(_._1)
+    val body = byPred.map { case (pred, rs) =>
+      s"${pyStr(pred)}: [" + rs.map(r => pyStr(s"${r._2} -> ${r._3}")).mkString(", ") + "]"
+    }.mkString("{", ", ", "}")
+    if (noisy(convId, turnIdx, text, 0x2002, cfg.scorerNoisePerMille, cfg.seed))
+      s"{'maybe': " // malformed → {}
+    else
+      s"$body <end_output>"
+  }
+
+  /** Verifier response: yes unless content-hash noise says no. */
+  def verifierResponse(convId: String, turnIdx: Int, mention: String, tag: String, text: String,
+                       cfg: TranscriptGen.Config): String = {
+    val reallyThere = text.contains(mention)
+    val flip = noisy(convId, turnIdx, s"$mention/$tag", 0x3003, cfg.verifierNoisePerMille, cfg.seed)
+    if (reallyThere != flip) "Yes, it is a valid entity. <end_answer>"
+    else "No. <end_answer>"
+  }
+}
