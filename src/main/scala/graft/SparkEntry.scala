@@ -33,7 +33,8 @@ object SparkEntry {
   }
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    graft.operators.RelationalQueries.all ++ Map(
     // ---- KG pipeline stages (rows-only checks; parity in tests) ----
     "kg_triples" -> ((s, dir) => KGPipeline.run(s, cfgFor(dir)).triples.toDF()),
     "kg_mentions" -> ((s, dir) => {
@@ -49,6 +50,7 @@ object SparkEntry {
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omit for non-SQL-expressible ops (the
+    * kg_* pipeline queries → rows-only checks). */
+  def oracleSql: Map[String, String] = graft.operators.RelationalQueries.oracle
 }

@@ -1,0 +1,366 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.StringSim
+
+/** Relational operators from SURVEY.md §2 expressed over the driver's
+  * parquet tables, each with a DuckDB-oracle SQL twin in
+  * [[OracleSql]]. Every aggregate / computed column is aliased
+  * identically on both sides (driver compares by sorted column name).
+  * Doubles are rounded on BOTH sides so summation-order noise cannot
+  * flip the hash compare.
+  *
+  * These are the SQL-expressible shadows of the KG pipeline's
+  * operators: each query's Scaladoc cites the reference semantics it
+  * generalizes.
+  */
+object RelationalQueries {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Group-aggregate with arithmetic (per-label result stats,
+    * testingLLMperformance.py:86-92; accuracy sums :104-112). */
+  def q01PricingAgg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        round(avg("l_discount"), 6).as("avg_disc"),
+        count(lit(1)).as("cnt"))
+
+  /** Top-k per group via ranking window (kNN top-k,
+    * few_shots_techniques.py:76; proposals entityMatching.py:70). */
+  def q02TopkWindow(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    t(spark, dir, "customer")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("c_mktsegment", "c_custkey", "c_acctbal", "rn")
+  }
+
+  /** Margin confidence 2*s1 − s2 from the two best per group
+    * (entityMatching.py:87). */
+  def q03MarginConfidence(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("p_type")
+      .orderBy(col("p_retailprice").desc, col("p_partkey"))
+    t(spark, dir, "part")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+      .groupBy("p_type")
+      .agg(
+        round(max(when(col("rn") === 1, col("p_retailprice"))) * 2 -
+          max(when(col("rn") === 2, col("p_retailprice"))), 4).as("margin"),
+        count(lit(1)).as("cnt"))
+  }
+
+  /** Anti-join (missing-doc diagnostics,
+    * testingLLMperformance.py:69-73). */
+  def q04AntiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+    val o = t(spark, dir, "orders")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+  }
+
+  /** Full-outer alignment with 'None' fill (prediction↔gold merge,
+    * process_results.py:95-108), aggregated to flag counts. */
+  def q05OuterAlign(spark: SparkSession, dir: String): DataFrame = {
+    val p = t(spark, dir, "part").select(col("p_partkey"))
+    val l = t(spark, dir, "lineitem").select(col("l_partkey")).distinct()
+    p.join(l, p("p_partkey") === l("l_partkey"), "full_outer")
+      .select(
+        when(col("p_partkey").isNull, "None").otherwise("part").as("in_part"),
+        when(col("l_partkey").isNull, "None").otherwise("line").as("in_line"))
+      .groupBy("in_part", "in_line")
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Max-confidence row per group with threshold (filter_rows,
+    * testingLLMperformance.py:9-18). */
+  def q06MaxConf(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("value").desc, col("event_id"))
+    t(spark, dir, "events")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("value") >= 0.5)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        round(col("value"), 4).as("value"))
+  }
+
+  /** Date normalization to yyyy-MM-dd (format_date,
+    * testingLLMperformance.py:21-26). */
+  def q07DateNorm(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("total"))
+
+  /** Content hashing as document identity (sha-256 doc hash,
+    * myMongoClient.py:197-204). */
+  def q08ShaDocs(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"), sha2(col("text"), 256).as("h"))
+
+  /** Levenshtein scoring column (entityMatching.py:50). */
+  def q09Levenshtein(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "part")
+      .select(col("p_partkey"), levenshtein(col("p_name"), col("p_brand")).as("d"))
+
+  /** Set difference (set(a).difference(set(b)),
+    * testingLLMperformance.py:69-71). */
+  def q10Except(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events")
+    val purchasers = e.filter(col("event_type") === "purchase").select("user_id").distinct()
+    val erroring = e.filter(col("event_type") === "error").select("user_id").distinct()
+    purchasers.except(erroring)
+  }
+
+  /** Whitespace token counting (nb_tokens, OntoNotes5Dataset.py:16;
+    * prompt-length guard pt_abstract.py:54-60). */
+  def q11TokenCount(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"), size(split(trim(col("text")), "\\s+")).as("ntok"))
+
+  /** Group values → deduped set with provenance (get_values_to_match,
+    * myMongoClient.py:62-75). */
+  def q12CollectSet(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .groupBy("source")
+      .agg(
+        array_join(sort_array(collect_set(col("lang"))), ",").as("langs"),
+        count(lit(1)).as("cnt"))
+
+  /** Exact dedup by content hash (drop_duplicates('text'),
+    * ner/Datasets/utils.py:45 + duplicate counter :33-38). */
+  def q13DedupExact(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("dups"))
+
+  /** Histogram bucketing (pd.cut confidence histogram,
+    * entityMatching.py:128-138). */
+  def q14Histogram(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy(floor(col("value") / 50.0).cast("int").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Entity-link scoring: top-1 Jaro-Winkler match per probe string
+    * against a broadcast catalogue (get_best_matches,
+    * entityMatching.py:59-78). Names share no prefix across tables so
+    * the unconditional-boost vs 0.7-threshold Winkler variants agree
+    * (prefix 0) and DuckDB can act as oracle. */
+  def q15JaroLink(spark: SparkSession, dir: String): DataFrame = {
+    val jw = udf((a: String, b: String) => StringSim.jaroWinkler(a, b))
+    val s = t(spark, dir, "supplier").select("s_name")
+    val c = t(spark, dir, "customer").select("c_name")
+    val w = Window.partitionBy("s_name").orderBy(col("jw").desc, col("c_name"))
+    s.join(broadcast(c)) // theta join: scored cross product, small side broadcast
+      .withColumn("jw", round(jw(col("s_name"), col("c_name")), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("s_name", "c_name", "jw")
+  }
+
+  /** Brute-force cosine top-k ANN over the embedding column, double
+    * math via higher-order functions (no UDF in the hot path). */
+  def q16AnnBruteForce(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>").as("qvec"))
+    val sim = {
+      val dot = expr("aggregate(zip_with(evec, qvec, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
+      val na = expr("aggregate(evec, 0D, (acc, v) -> acc + v * v)")
+      val nb = expr("aggregate(qvec, 0D, (acc, v) -> acc + v * v)")
+      dot / sqrt(na * nb)
+    }
+    e.filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("evec"))
+      .crossJoin(broadcast(q))
+      .withColumn("sim", round(sim, 4))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(5)
+      .select("vec_id", "sim")
+  }
+
+  /** Sessionization via lag window (gap > 600s starts a session) —
+    * the events-table generalization of stable turn ordering. */
+  def q17Sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    t(spark, dir, "events")
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_sess",
+        // fractional-second epochs (DuckDB epoch() parity; unix_timestamp
+        // truncates). ts is TIMESTAMP_NTZ → LTZ (session tz UTC) → double.
+        when(col("prev_ts").isNull ||
+          col("ts").cast("timestamp_ltz").cast("double") -
+            col("prev_ts").cast("timestamp_ltz").cast("double") > 600, 1).otherwise(0))
+      .groupBy("user_id")
+      .agg(sum("new_sess").as("sessions"), count(lit(1)).as("n_events"))
+  }
+
+  /** Two-level mean-of-means (score_by_documents,
+    * testingLLMperformance.py:104-112). */
+  def q18MeanOfMeans(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = t(spark, dir, "events")
+      .groupBy("user_id", "event_type")
+      .agg(avg("value").as("user_mean"))
+    perUser.groupBy("event_type")
+      .agg(round(avg("user_mean"), 6).as("mean_of_means"), count(lit(1)).as("n_users"))
+  }
+
+  /** Broadcast-dimension equi-join chain with pruned columns
+    * (doc_id↔doc_name mapping joins, preparing_finetuning.py:16,26). */
+  def q19DimJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+    val n = t(spark, dir, "nation")
+    val r = t(spark, dir, "region")
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("cnt"), round(avg("c_acctbal"), 4).as("avg_bal"))
+  }
+
+  /** Numeric-ratio data-cleaning filter as SQL predicate
+    * (ner/Datasets/utils.py:24-30): rows where digit-only tokens
+    * outnumber alpha tokens are dropped. */
+  def q20NumericFilter(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(trim(col("text")), "\\s+")
+    val numeric = size(filter(toks, x => x.rlike("^[0-9]+$")))
+    val alpha = size(filter(toks, x => x.rlike("^[A-Za-z]+$")))
+    t(spark, dir, "documents")
+      .withColumn("n_numeric", numeric)
+      .withColumn("n_alpha", alpha)
+      .filter(col("n_numeric") < col("n_alpha"))
+      .select("doc_id", "n_numeric", "n_alpha")
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_agg" -> q01PricingAgg,
+    "q02_topk_window" -> q02TopkWindow,
+    "q03_margin_confidence" -> q03MarginConfidence,
+    "q04_anti_join" -> q04AntiJoin,
+    "q05_outer_align" -> q05OuterAlign,
+    "q06_maxconf" -> q06MaxConf,
+    "q07_date_norm" -> q07DateNorm,
+    "q08_sha_docs" -> q08ShaDocs,
+    "q09_levenshtein" -> q09Levenshtein,
+    "q10_except" -> q10Except,
+    "q11_token_count" -> q11TokenCount,
+    "q12_collect_set" -> q12CollectSet,
+    "q13_dedup_exact" -> q13DedupExact,
+    "q14_histogram" -> q14Histogram,
+    "q15_jaro_link" -> q15JaroLink,
+    "q16_ann_brute_force" -> q16AnnBruteForce,
+    "q17_sessionize" -> q17Sessionize,
+    "q18_mean_of_means" -> q18MeanOfMeans,
+    "q19_dim_join" -> q19DimJoin,
+    "q20_numeric_filter" -> q20NumericFilter,
+  )
+
+  /** DuckDB oracle SQL — same table names, same output column names,
+    * same rounding. */
+  val oracle: Map[String, String] = Map(
+    "q01_pricing_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity), 2) AS sum_qty,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        | round(avg(l_discount), 6) AS avg_disc,
+        | count(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_topk_window" ->
+      """SELECT c_mktsegment, c_custkey, c_acctbal, rn FROM (
+        | SELECT c_mktsegment, c_custkey, c_acctbal,
+        |  row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS rn
+        | FROM customer) WHERE rn <= 3""".stripMargin,
+    "q03_margin_confidence" ->
+      """SELECT p_type,
+        | round(2 * max(CASE WHEN rn = 1 THEN p_retailprice END)
+        |       - max(CASE WHEN rn = 2 THEN p_retailprice END), 4) AS margin,
+        | count(*) AS cnt
+        |FROM (
+        | SELECT p_type, p_retailprice,
+        |  row_number() OVER (PARTITION BY p_type ORDER BY p_retailprice DESC, p_partkey) AS rn
+        | FROM part) WHERE rn <= 2 GROUP BY p_type""".stripMargin,
+    "q04_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin,
+    "q05_outer_align" ->
+      """SELECT CASE WHEN p.p_partkey IS NULL THEN 'None' ELSE 'part' END AS in_part,
+        |       CASE WHEN l.l_partkey IS NULL THEN 'None' ELSE 'line' END AS in_line,
+        |       count(*) AS cnt
+        |FROM part p FULL OUTER JOIN (SELECT DISTINCT l_partkey FROM lineitem) l
+        |  ON p.p_partkey = l.l_partkey
+        |GROUP BY 1, 2""".stripMargin,
+    "q06_maxconf" ->
+      """SELECT user_id, event_type, event_id, round(value, 4) AS value FROM (
+        | SELECT user_id, event_type, event_id, value,
+        |  row_number() OVER (PARTITION BY user_id, event_type ORDER BY value DESC, event_id) AS rn
+        | FROM events) WHERE rn = 1 AND value >= 0.5""".stripMargin,
+    "q07_date_norm" ->
+      """SELECT strftime(o_orderdate, '%Y-%m-%d') AS day, count(*) AS cnt,
+        | round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY 1""".stripMargin,
+    "q08_sha_docs" -> "SELECT doc_id, sha256(text) AS h FROM documents",
+    "q09_levenshtein" ->
+      "SELECT p_partkey, levenshtein(p_name, p_brand) AS d FROM part",
+    "q10_except" ->
+      """SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+        |EXCEPT
+        |SELECT DISTINCT user_id FROM events WHERE event_type = 'error'""".stripMargin,
+    "q11_token_count" ->
+      """SELECT doc_id, len(regexp_split_to_array(trim(text), '\s+')) AS ntok FROM documents""",
+    "q12_collect_set" ->
+      """SELECT source, array_to_string(list_sort(list(DISTINCT lang)), ',') AS langs,
+        | count(*) AS cnt
+        |FROM documents GROUP BY source""".stripMargin,
+    "q13_dedup_exact" ->
+      """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS dups
+        |FROM documents GROUP BY 1""".stripMargin,
+    "q14_histogram" ->
+      """SELECT cast(floor(value / 50.0) AS int) AS bucket, count(*) AS cnt
+        |FROM events GROUP BY 1""".stripMargin,
+    "q15_jaro_link" ->
+      """SELECT s_name, c_name, jw FROM (
+        | SELECT s_name, c_name,
+        |  round(jaro_winkler_similarity(s_name, c_name), 6) AS jw,
+        |  row_number() OVER (PARTITION BY s_name
+        |    ORDER BY round(jaro_winkler_similarity(s_name, c_name), 6) DESC, c_name) AS rn
+        | FROM supplier, customer) WHERE rn = 1""".stripMargin,
+    "q16_ann_brute_force" ->
+      """SELECT e.vec_id,
+        | round(list_cosine_similarity(e.embedding, q.qvec), 4) AS sim
+        |FROM embeddings e,
+        | (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0) q
+        |WHERE e.vec_id <> 0
+        |ORDER BY sim DESC, e.vec_id LIMIT 5""".stripMargin,
+    "q17_sessionize" ->
+      """SELECT user_id,
+        | sum(CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > 600 THEN 1 ELSE 0 END) AS sessions,
+        | count(*) AS n_events
+        |FROM (SELECT user_id, event_id, ts,
+        |       lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |      FROM events)
+        |GROUP BY user_id""".stripMargin,
+    "q18_mean_of_means" ->
+      """SELECT event_type, round(avg(user_mean), 6) AS mean_of_means, count(*) AS n_users
+        |FROM (SELECT user_id, event_type, avg(value) AS user_mean
+        |      FROM events GROUP BY user_id, event_type)
+        |GROUP BY event_type""".stripMargin,
+    "q19_dim_join" ->
+      """SELECT r_name, n_name, count(*) AS cnt, round(avg(c_acctbal), 4) AS avg_bal
+        |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        | JOIN region r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY r_name, n_name""".stripMargin,
+    "q20_numeric_filter" ->
+      """SELECT doc_id,
+        | len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> regexp_matches(x, '^[0-9]+$'))) AS n_numeric,
+        | len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> regexp_matches(x, '^[A-Za-z]+$'))) AS n_alpha
+        |FROM documents
+        |WHERE len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> regexp_matches(x, '^[0-9]+$')))
+        |    < len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> regexp_matches(x, '^[A-Za-z]+$')))""".stripMargin,
+  )
+}
