@@ -47,6 +47,31 @@ object SparkEntry {
       val r = KGPipeline.run(s, cfg)
       r.links.toDF()
     }),
+
+    // ---- training-data pipeline ops (rows-only; accuracy specs in tests) ----
+    "dedup_minhash_clusters" -> ((s, dir) =>
+      operators.Dedup.minhashClusters(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")),
+    "dedup_sketches" -> ((s, dir) => {
+      import s.implicits._
+      operators.Dedup.sketch(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
+        .map(sk => (sk.doc_id, f"${sk.simhash}%016x", sk.nShingles, sk.minhash.min))
+        .toDF("doc_id", "simhash_hex", "n_shingles", "min_minhash")
+    }),
+    "text_profile" -> ((s, dir) =>
+      operators.TextOps.profile(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text").toDF()),
+    "text_fingerprints" -> ((s, dir) =>
+      operators.TextOps.fingerprintPostings(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")),
+    "ann_lsh_topk" -> ((s, dir) => {
+      import s.implicits._
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val queries = e.filter(org.apache.spark.sql.functions.col("vec_id") < 5)
+        .select("vec_id", "embedding").as[(Long, Seq[Float])]
+        .collect().map { case (id, v) => (id, v.toArray) } // constant-size query set
+      operators.Ann.lshTopK(e, "vec_id", "embedding", queries, k = 10).toDF()
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.{Hashing, StringSim}
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  * Two paths:
+  *  - [[bruteForceTopK]]: exact baseline. Queries are broadcast; each
+  *    partition keeps a local top-k heap per query (mapPartitions →
+  *    one small (nQueries × k × nPartitions) shuffle → final window).
+  *    The per-row cost is one dot product; NO per-pair row explosion
+  *    reaches the shuffle.
+  *  - [[lshTopK]]: scale path — random-hyperplane buckets with
+  *    multi-probe, exact rescoring inside probed buckets only.
+  * Generalizes the reference's all-pairs cosine kNN
+  * (few_shots_techniques.py:71-81) the way the north rule's
+  * blocking-key candidate generation prescribes.
+  */
+object Ann {
+
+  final case class Neighbor(query_id: Long, vec_id: Long, sim: Double)
+
+  private def toArr(v: Seq[Float]): Array[Float] = v.toArray
+
+  /** Exact top-k per query via broadcast queries + per-partition heaps. */
+  def bruteForceTopK(embeddings: DataFrame, idCol: String, vecCol: String,
+                     queries: Array[(Long, Array[Float])], k: Int): Dataset[Neighbor] = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(queries)
+    val partial = embeddings
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+      .as[(Long, Seq[Float])]
+      .mapPartitions { it =>
+        val qs = bc.value
+        // one bounded heap per query; emits ≤ qs.length * k rows per partition
+        val heaps = qs.map(_ => scala.collection.mutable.PriorityQueue.empty[Neighbor](
+          Ordering.by[Neighbor, (Double, Long)](n => (-n.sim, n.vec_id))))
+        it.foreach { case (id, v) =>
+          val arr = toArr(v)
+          var qi = 0
+          while (qi < qs.length) {
+            val (qid, qv) = qs(qi)
+            if (qid != id) {
+              val s = StringSim.cosine(arr, qv)
+              val h = heaps(qi)
+              if (h.size < k) h.enqueue(Neighbor(qid, id, s))
+              else if (s > h.head.sim || (s == h.head.sim && id < h.head.vec_id)) {
+                h.dequeue(); h.enqueue(Neighbor(qid, id, s))
+              }
+            }
+            qi += 1
+          }
+        }
+        heaps.iterator.flatMap(_.iterator)
+      }
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id"))
+    partial.toDF()
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("query_id", "vec_id", "sim")
+      .as[Neighbor]
+  }
+
+  /** LSH-bucketed ANN: hyperplane signature buckets + multi-probe,
+    * exact cosine rescoring only inside probed buckets, then top-k. */
+  def lshTopK(embeddings: DataFrame, idCol: String, vecCol: String,
+              queries: Array[(Long, Array[Float])], k: Int,
+              planes: Int = 10, probes: Int = 11, seed: Long = 42L): Dataset[Neighbor] = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+
+    def bucketOf(v: Array[Float]): Int = {
+      var bits = 0
+      var p = 0
+      while (p < planes) {
+        var dot = 0.0
+        var j = 0
+        while (j < v.length) {
+          dot += v(j) * (Hashing.toUnit(Hashing.hash64(p.toLong * 131071L + j, seed)) * 2 - 1)
+          j += 1
+        }
+        if (dot >= 0) bits |= (1 << p)
+        p += 1
+      }
+      bits
+    }
+
+    // query → probed buckets (own + 1-bit flips, capped at `probes`)
+    val queryBuckets: Map[Int, Array[(Long, Array[Float])]] = queries
+      .flatMap { case (qid, qv) =>
+        val b = bucketOf(qv)
+        (Seq(b) ++ (0 until planes).map(i => b ^ (1 << i))).take(probes).map(bb => (bb, (qid, qv)))
+      }
+      .groupBy(_._1).map { case (b, xs) => b -> xs.map(_._2) }
+    val bc = spark.sparkContext.broadcast(queryBuckets)
+
+    val partial = embeddings
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+      .as[(Long, Seq[Float])]
+      .flatMap { case (id, v) =>
+        val arr = toArr(v)
+        bc.value.getOrElse(bucketOf(arr), Array.empty[(Long, Array[Float])]).collect {
+          case (qid, qv) if qid != id => Neighbor(qid, id, StringSim.cosine(arr, qv))
+        }
+      }
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id"))
+    partial.toDF()
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("query_id", "vec_id", "sim")
+      .as[Neighbor]
+  }
+}

@@ -1,0 +1,57 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Ann
+import graft.functions.StringSim
+
+class AnnSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  private lazy val (vectors, queries) = {
+    val rnd = new scala.util.Random(5)
+    def randVec() = Array.fill(32)(rnd.nextGaussian().toFloat)
+    val base = (0 until 300).map(i => (i.toLong, randVec()))
+    // queries = noisy copies of vectors 0..9 → known true nearest neighbor
+    val qs = (0 until 10).map { i =>
+      (1000L + i, base(i)._2.map(x => x + 0.05f * rnd.nextGaussian().toFloat))
+    }
+    (base, qs.toArray)
+  }
+
+  private def embDF = {
+    import spark.implicits._
+    vectors.map { case (id, v) => (id, v.toSeq) }.toDF("vec_id", "embedding")
+  }
+
+  private def bruteTruth(k: Int): Map[Long, Seq[Long]] =
+    queries.map { case (qid, qv) =>
+      qid -> vectors.map { case (id, v) => (id, StringSim.cosine(v, qv)) }
+        .sortBy { case (id, s) => (-s, id) }.take(k).map(_._1).toSeq
+    }.toMap
+
+  test("bruteForceTopK matches local exact computation") {
+    val got = Ann.bruteForceTopK(embDF, "vec_id", "embedding", queries, k = 5)
+      .collect().groupBy(_.query_id)
+      .map { case (q, ns) => q -> ns.sortBy(n => (-n.sim, n.vec_id)).map(_.vec_id).toSeq }
+    val truth = bruteTruth(5)
+    queries.foreach { case (qid, _) =>
+      assert(got(qid) == truth(qid), s"query $qid: ${got(qid)} vs ${truth(qid)}")
+    }
+  }
+
+  test("lshTopK finds the true top-1 for near-duplicate queries") {
+    val got = Ann.lshTopK(embDF, "vec_id", "embedding", queries, k = 5)
+      .collect().groupBy(_.query_id)
+    val hits = queries.count { case (qid, _) =>
+      got.get(qid).exists(_.exists(_.vec_id == qid - 1000L))
+    }
+    info(s"lsh top-1 recall: $hits/10")
+    assert(hits >= 8, s"only $hits/10 true neighbors found")
+    // scores are exact cosines (rescored, not approximated)
+    got.values.flatten.foreach { n =>
+      val expected = StringSim.cosine(
+        vectors(n.vec_id.toInt)._2, queries.find(_._1 == n.query_id).get._2)
+      assert(math.abs(n.sim - expected) < 1e-12)
+    }
+  }
+}
