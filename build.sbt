@@ -26,5 +26,16 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] = one JVM doing all executor work: size the heap for 32
+  // concurrent allocation-heavy tasks (box has 128 GiB; 8g thrashes GC
+  // and makes 32 threads SLOWER than 8).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+)
+// Pre-commit + pre-touch the heap for `run` (Bench/Verify): lazy page
+// faulting under 32 allocation-heavy threads shows up as 60-80% SYSTEM
+// time and 2-4x wall-clock noise (measured; see BASELINE.md). Tests
+// keep lazy allocation (pre-touching per forked test JVM is wasteful).
+run / javaOptions ++= Seq(
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  "-XX:+AlwaysPreTouch",
 )

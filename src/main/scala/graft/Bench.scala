@@ -1,24 +1,126 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import graft.kg.{KGPipeline, TranscriptGen, Turn}
+
+/** Round benchmark. Emits ONE JSON line:
+  *  - per-query seconds for every SparkEntry query at SPARK_GRAFT_SF_DIR;
+  *  - end-to-end KG throughput (triples/sec and turns/sec) on a large
+  *    synthetic corpus read FROM PARQUET (the corpus is materialized
+  *    once, then the pipeline is timed reading it — matching the real
+  *    deployment, which reads Iceberg tables rather than a generator);
+  *  - scaling evidence for the north rule's N→4N criterion at TWO
+  *    pairs (2→8 and 8→32 cores) on identical input, with
+  *    efficiency = tput_4N / (4 · tput_N). No real cluster exists in
+  *    this sandbox; see BASELINE.md for the single-box caveats
+  *    (CPU steal + shared memory bandwidth cap the upper pair even
+  *    for a Spark-free JVM kernel — measured in graft.tools.MicroBench).
+  */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+
+  private def session(cores: Int): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(s"graft-bench-$cores")
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.default.parallelism", cores)
+      .config("spark.sql.adaptive.enabled", "true")
+      // split small parquet inputs finely enough that the narrow
+      // extraction stage gets ≥1 partition per core (128MB default
+      // bin-packs the corpus into ~13 splits, capping parallelism)
+      .config("spark.sql.files.maxPartitionBytes", "8m")
+      .config("spark.sql.files.openCostInBytes", "1m")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** Generate-once corpus parquet (idempotent per size). */
+  private def corpusDir(spark: SparkSession, nConvs: Long): String = {
+    val dir = s"/tmp/graft_bench_corpus_$nConvs"
+    if (!new java.io.File(s"$dir/_SUCCESS").exists()) {
+      TranscriptGen.transcripts(spark, TranscriptGen.Config(nConvs = nConvs))
+        .repartition(64)
+        .write.mode("overwrite").parquet(dir)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    dir
+  }
+
+  /** One full KG run from parquet; returns (nTurns, triples, wallSec). */
+  private def kgRun(spark: SparkSession, dir: String): (Long, Long, Double) = {
+    import spark.implicits._
+    val cfg = TranscriptGen.Config(nConvs = 0) // noise rates only
+    val turns = spark.read.parquet(dir).as[Turn]
+    val t0 = System.nanoTime()
+    val result = KGPipeline.run(spark, turns, cfg)
+    val nTriples = result.triples.count()
+    val wall = (System.nanoTime() - t0) / 1e9
+    result.unpersistAll()
+    (0L, nTriples, wall)
+  }
+
+  /** Warm measurement: run twice in the same session (first run pays
+    * JIT + page cache), keep the faster wall. Pipeline caches are
+    * released after every run; a GC between runs stabilizes heap
+    * state so successive measurements are comparable. */
+  private def measuredRun(cores: Int, dir: String): (Double, Long) = {
+    val spark = session(cores)
+    val w1 = { val (_, _, w) = kgRun(spark, dir); w }
+    System.gc()
+    val (_, triples, w2) = kgRun(spark, dir)
     spark.stop()
+    System.gc()
+    System.err.println(f"[bench] cores=$cores run1=$w1%.2f run2=$w2%.2f")
+    (math.min(w1, w2), triples)
+  }
+
+  private def scalePair(dir: String, n: Int): (Double, Double, Double) = {
+    val (wallN, _) = measuredRun(n, dir)
+    val (wall4N, _) = measuredRun(4 * n, dir)
+    (wallN, wall4N, wallN / (4.0 * wall4N))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val benchConvs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "500000").toLong
+    val scalingOnly = sys.env.contains("SPARK_GRAFT_BENCH_SCALING_ONLY")
+
+    // --- headline queries at the driver's sf dir ---
+    var spark = session(cpus)
+    val results =
+      if (scalingOnly) Seq.empty[(String, Double)]
+      else SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
+
+    // --- corpus materialization (excluded from timings) ---
+    val dir = corpusDir(spark, benchConvs)
+    val nTurns = spark.read.parquet(dir).count()
+
+    spark.stop()
+
+    // --- end-to-end KG throughput at full cores (warm, best of 2) ---
+    val (kgWall, kgTriples) = measuredRun(cpus, dir)
+
+    // --- scaling: identical job + input at (2,8) and (8,32) cores ---
+    val (wall2, wall8a, eff2) = scalePair(dir, 2)
+    val (wall8, wall32, eff8) = scalePair(dir, 8)
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    val kgTput = kgTriples / kgWall
+    val kgJson =
+      f"""{"n_convs":$benchConvs,"n_turns":$nTurns,"triples":$kgTriples,"wall_sec":$kgWall%.2f,"triples_per_sec":$kgTput%.1f,"turns_per_sec":${nTurns / kgWall}%.1f}"""
+    val scalingJson =
+      f"""{"pair_2_8":{"wall_n_sec":$wall2%.2f,"wall_4n_sec":$wall8a%.2f,"efficiency":$eff2%.3f},""" +
+      f""""pair_8_32":{"wall_n_sec":$wall8%.2f,"wall_4n_sec":$wall32%.2f,"efficiency":$eff8%.3f}}"""
+    println(
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","kg":$kgJson,"scaling":$scalingJson}""")
   }
 }

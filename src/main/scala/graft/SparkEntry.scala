@@ -64,6 +64,38 @@ object SparkEntry {
     "text_fingerprints" -> ((s, dir) =>
       operators.TextOps.fingerprintPostings(
         s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")),
+    "label_eval" -> ((s, dir) => {
+      val n = if (dir.contains("sf0.1")) 5000L else if (dir.contains("sf0.01")) 1000L else 200L
+      val lvs = operators.LabelEval.syntheticLabelVersions(s, n)
+      val gold = lvs.toDF().select("doc_id").distinct()
+        .withColumn("label_name", org.apache.spark.sql.functions.lit("gold-marker"))
+        .withColumn("label_value", org.apache.spark.sql.functions.lit("x"))
+        .withColumn("confidence", org.apache.spark.sql.functions.lit(1.0))
+        .withColumn("model", org.apache.spark.sql.functions.lit("user"))
+        .withColumn("created_on", org.apache.spark.sql.functions.lit(new java.sql.Timestamp(0L)))
+      val (_, scoreDf) = operators.LabelEval.evaluate(lvs, gold)
+      scoreDf
+    }),
+    "multimodal_features" -> ((s, dir) => {
+      import s.implicits._
+      val n = if (dir.contains("sf0.1")) 3000L else 300L
+      operators.Multimodal.extractFeatures(
+        operators.Multimodal.syntheticMedia(s, n),
+        new operators.Multimodal.StubDecoder(16), partitions = 8)
+        .map(f => (f.media_id, f.modality, f.n_bytes, f.width, f.height,
+          f.duration_ms, f.content_sha))
+        .toDF("media_id", "modality", "n_bytes", "width", "height", "duration_ms", "content_sha")
+    }),
+    "fewshots_sentence_knn" -> ((s, dir) => {
+      import s.implicits._
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val train = e.select("vec_id", "embedding").as[(Long, Seq[Float])]
+        .collect().map { case (id, v) => (id, v.toArray) } // bounded few-shot pool
+      val queries = e.filter(org.apache.spark.sql.functions.col("vec_id") < 20)
+        .select("vec_id", "embedding").as[(Long, Seq[Float])]
+        .map { case (id, v) => (id, v.toArray) }
+      kg.FewShots.sentenceKnn(queries, train, k = 3).toDF()
+    }),
     "ann_lsh_topk" -> ((s, dir) => {
       import s.implicits._
       val e = s.read.parquet(s"$dir/embeddings.parquet")

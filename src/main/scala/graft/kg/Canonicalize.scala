@@ -26,13 +26,65 @@ object Canonicalize {
 
   /** edges: (src, dst) string pairs, undirected. Returns
     * (vertex, component) with component = min vertex id reachable. */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+  /** Edge-count threshold below which CC runs as driver-local
+    * union-find over the (already tiny) distinct edge set — the same
+    * adaptivity as a broadcast join: the distinct mention/entity graph
+    * is typically orders of magnitude smaller than the corpus, and
+    * the iterative loop's many small jobs would otherwise dominate.
+    * Above the threshold the distributed hash-min loop runs. */
+  val LocalEdgeThreshold: Long = 2L << 21 // ~4M edges ≈ a few hundred MB driver-side
+
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20,
+                          forceDistributed: Boolean = false): DataFrame = {
     val spark = edges.sparkSession
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .localCheckpoint()
 
+    // Adapt the loop's shuffle width to the measured graph size: the
+    // iteration runs MANY tiny jobs, and per-partition overhead
+    // dominates when the distinct-vertex graph is orders of magnitude
+    // smaller than the corpus (typical: |distinct mentions| ≪ |turns|).
+    // Conf is restored after the loop (the loop is fully eager, so the
+    // narrowed width applies to exactly these jobs).
+    val nEdges = sym.count()
+    if (nEdges <= LocalEdgeThreshold && !forceDistributed)
+      return connectedComponentsLocal(spark, sym)
+    val prevShufflePartitions = spark.conf.get("spark.sql.shuffle.partitions")
+    val loopPartitions = math.max(4L, math.min(prevShufflePartitions.toLong, nEdges / 100000L + 1))
+    spark.conf.set("spark.sql.shuffle.partitions", loopPartitions.toString)
+    try {
+      connectedComponentsLoop(sym, maxIter)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevShufflePartitions)
+    }
+  }
+
+  /** Driver-local union-find over a collected small edge set; output
+    * schema identical to the distributed loop. */
+  private def connectedComponentsLocal(spark: org.apache.spark.sql.SparkSession,
+                                       sym: DataFrame): DataFrame = {
+    import spark.implicits._
+    val edges = sym.as[(String, String)].collect()
+    val parent = scala.collection.mutable.HashMap.empty[String, String]
+    def find(x: String): String = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x // path compression
+      while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb } // min-id root
+    }
+    val rows = parent.keys.toSeq.map(v => (v, find(v)))
+    spark.createDataset(rows).toDF("vertex", "component")
+  }
+
+  private def connectedComponentsLoop(sym: DataFrame, maxIter: Int): DataFrame = {
     var labels = sym.select(col("src").as("vertex")).distinct()
       .withColumn("label", col("vertex"))
       .localCheckpoint()

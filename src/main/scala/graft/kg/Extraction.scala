@@ -56,60 +56,98 @@ object Extraction {
     }
   }
 
+  /** Everything the per-turn extraction chain produces in one narrow
+    * pass: parsed mentions, verifier-surviving mentions, relations. */
+  final case class TurnExtraction(
+      conv_id: String,
+      turn_idx: Int,
+      parsed: Seq[(String, String)],
+      verified: Seq[(String, String)],
+      relations: Seq[(String, String, String)])
+
+  /** The fused per-turn extraction: parse the mention response, run
+    * the verifier on each mention, then the stage-2 relation chain on
+    * the verified set — all inside ONE narrow mapPartitions, because
+    * every input (text, response, mentions) is turn-local. This is
+    * exactly the reference's per-sentence control flow
+    * (pt_abstract.run_prompt: parse → verify → confidence,
+    * pt_abstract.py:45-73; chained stage-2 pt_multi_pt.py:81-90) —
+    * and the 100-TB design: per-turn work is embarrassingly parallel,
+    * shuffles happen only where semantics demand them (linking
+    * aggregation, canonicalization, final distinct). */
+  def extractAll(scored: Dataset[Scored], cfg: TranscriptGen.Config): Dataset[TurnExtraction] = {
+    import scored.sparkSession.implicits._
+    scored.mapPartitions { it =>
+      it.map { s =>
+        val parsed = Parsers.parseTupleList(s.response, MentionTags)
+        val verified = parsed.filter { case (ne, tag) =>
+          val resp = Scorer.verifierResponse(s.conv_id, s.turn_idx, ne, tag, s.text, cfg)
+          Parsers.verifierAnswer(resp).contains(true)
+        }
+        val ordered = verified.sortBy { case (m, _) =>
+          val i = s.text.indexOf(m); if (i < 0) Int.MaxValue else i
+        }
+        val relResp = Scorer.relationResponse(s.conv_id, s.turn_idx, s.text, ordered, cfg)
+        val rels = Parsers.parseFilingJson(relResp, Scorer.RelationPreds).flatMap { case (pair, pred) =>
+          val arrow = pair.indexOf(" -> ")
+          if (arrow < 0) Nil
+          else List((pair.substring(0, arrow), pred, pair.substring(arrow + 4)))
+        }
+        TurnExtraction(s.conv_id, s.turn_idx, parsed, verified, rels)
+      }
+    }
+  }
+
   /** Two-stage chain (pt_multi_pt.py:81-90 shape): stage-1 mentions
     * grouped back per turn feed the relation scorer; responses are
-    * filing-format dicts parsed and split into (subj, pred, obj). */
+    * filing-format dicts parsed and split into (subj, pred, obj).
+    * Standalone operator for externally-supplied mention sets (the
+    * pipeline itself uses the fused [[extractAll]]); a single cogroup
+    * on (conv_id, turn_idx) — one shuffle per side. */
   def extractRelations(scored: Dataset[Scored], mentions: Dataset[Mention],
                        cfg: TranscriptGen.Config): Dataset[Relation] = {
     val spark = scored.sparkSession
     import spark.implicits._
-    val mentionsByTurn = mentions
-      .groupByKey(m => (m.conv_id, m.turn_idx))
-      .mapGroups { (key: (String, Int), it: Iterator[Mention]) =>
-        // canonical order: first occurrence order is lost after shuffle,
-        // so sort by (mention, tag) — deterministic under any parallelism
-        (key._1, key._2, it.map(m => (m.mention, m.tag)).toSeq.sortBy(identity))
-      }
-      .toDF("conv_id", "turn_idx", "mset")
-      .as[(String, Int, Seq[(String, String)])]
-
-    scored
-      .joinWith(mentionsByTurn,
-        scored("conv_id") === mentionsByTurn("conv_id") &&
-          scored("turn_idx") === mentionsByTurn("turn_idx"),
-        "inner")
-      .mapPartitions { it =>
-        it.flatMap { case (s, (c, t, mset)) =>
-          // re-establish in-text order for the rule positions
-          val ordered = mset.sortBy { case (m, _) => val i = s.text.indexOf(m); if (i < 0) Int.MaxValue else i }
-          val resp = Scorer.relationResponse(c, t, s.text, ordered, cfg)
-          Parsers.parseFilingJson(resp, Scorer.RelationPreds).flatMap { case (pair, pred) =>
-            val arrow = pair.indexOf(" -> ")
-            if (arrow < 0) Nil
-            else List(Relation(c, t, pair.substring(0, arrow), pred, pair.substring(arrow + 4)))
-          }
+    scored.groupByKey(s => (s.conv_id, s.turn_idx))
+      .cogroup(mentions.groupByKey(m => (m.conv_id, m.turn_idx))) { case ((c, t), ss, ms) =>
+        val sOpt = ss.toList.headOption
+        // canonical order: shuffle loses arrival order, so sort by
+        // (mention, tag) then re-establish in-text position
+        val mset = ms.map(m => (m.mention, m.tag)).toList.sortBy(identity)
+        sOpt match {
+          case Some(s) if mset.nonEmpty =>
+            val ordered = mset.sortBy { case (m, _) =>
+              val i = s.text.indexOf(m); if (i < 0) Int.MaxValue else i
+            }
+            val resp = Scorer.relationResponse(c, t, s.text, ordered, cfg)
+            Parsers.parseFilingJson(resp, Scorer.RelationPreds).flatMap { case (pair, pred) =>
+              val arrow = pair.indexOf(" -> ")
+              if (arrow < 0) Nil
+              else List(Relation(c, t, pair.substring(0, arrow), pred, pair.substring(arrow + 4)))
+            }
+          case _ => Nil
         }
       }
   }
 
   /** Verification pass (verifier.py:11-32): one yes/no scorer call
-    * per extracted mention; keep iff "yes". A second batched
-    * mapPartitions over the exploded mention rows. */
-  def verifyMentions(mentions: Dataset[Mention], turns: Dataset[Turn],
+    * per extracted mention; keep iff "yes". A second batched pass,
+    * cogrouped with the (cached) scored turns — the mention stream
+    * never re-joins the raw transcripts. */
+  def verifyMentions(mentions: Dataset[Mention], scored: Dataset[Scored],
                      cfg: TranscriptGen.Config): Dataset[Mention] = {
     val spark = mentions.sparkSession
     import spark.implicits._
-    val withText = mentions.joinWith(turns,
-      mentions("conv_id") === turns("conv_id") && mentions("turn_idx") === turns("turn_idx"),
-      "inner")
-    withText.mapPartitions { it =>
-      it.flatMap { case (m, t) =>
-        val resp = Scorer.verifierResponse(m.conv_id, m.turn_idx, m.mention, m.tag, t.text, cfg)
-        Parsers.verifierAnswer(resp) match {
-          case Some(true) => Some(m)
-          case _ => None
+    scored.groupByKey(s => (s.conv_id, s.turn_idx))
+      .cogroup(mentions.groupByKey(m => (m.conv_id, m.turn_idx))) { case (_, ss, ms) =>
+        ss.toList.headOption match {
+          case Some(s) =>
+            ms.filter { m =>
+              val resp = Scorer.verifierResponse(m.conv_id, m.turn_idx, m.mention, m.tag, s.text, cfg)
+              Parsers.verifierAnswer(resp).contains(true)
+            }
+          case None => Iterator.empty
         }
       }
-    }
   }
 }

@@ -1,0 +1,84 @@
+package graft.kg
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.StringSim
+
+/** Few-shot nearest-neighbor index operators reproducing the
+  * reference's two kNN strategies (ner/llm_ner/few_shots_techniques.py):
+  *
+  *  - sentence-kNN (FST_Sentence, :67-88): cosine of the query
+  *    sentence embedding vs every training sentence embedding, top-k
+  *    descending; the reference memoizes per distinct sentence
+  *    (few_shots_save, :72-80) — we get the same effect with
+  *    dropDuplicates on the query text before scoring.
+  *  - entity/token-kNN (FST_Entity, :103-124): per query token, top-k
+  *    over ALL training token embeddings, merged across tokens by
+  *    score descending, deduped by training-row idx keeping first,
+  *    then truncated to k.
+  *
+  * Scale shape: training embeddings are the broadcast side (the
+  * few-shot pool is bounded); queries stream through mapPartitions
+  * heaps — same design as [[graft.operators.Ann.bruteForceTopK]].
+  */
+object FewShots {
+
+  final case class Shot(query_id: Long, train_id: Long, sim: Double, rank: Int)
+
+  /** Sentence-kNN: exact top-k cosine against the broadcast training
+    * pool. Ties broken by ascending train_id (np.argsort is stable;
+    * our tie-break is documented & deterministic). */
+  def sentenceKnn(queries: Dataset[(Long, Array[Float])],
+                  train: Array[(Long, Array[Float])], k: Int): Dataset[Shot] = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(train)
+    queries.mapPartitions { it =>
+      val pool = bc.value
+      it.flatMap { case (qid, qv) =>
+        pool.map { case (tid, tv) => (tid, StringSim.cosine(qv, tv)) }
+          .sortBy { case (tid, s) => (-s, tid) }
+          .take(k)
+          .zipWithIndex
+          .map { case ((tid, s), i) => Shot(qid, tid, s, i + 1) }
+      }
+    }
+  }
+
+  /** Entity/token-kNN (few_shots_techniques.py:110-124): for each
+    * query token top-k vs all training TOKEN embeddings; merge all
+    * per-token hits sorted by score desc; dedup training-row idx
+    * keeping the best-scored occurrence; take k rows. */
+  def entityKnn(queryTokens: Dataset[(Long, Int, Array[Float])], // (query_id, token_pos, vec)
+                trainTokens: Array[(Long, Array[Float])],        // (train_row_idx, token vec)
+                k: Int): Dataset[Shot] = {
+    val spark = queryTokens.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(trainTokens)
+    val perToken = queryTokens.mapPartitions { it =>
+      val pool = bc.value
+      it.flatMap { case (qid, _, qv) =>
+        pool.map { case (idx, tv) => (qid, idx, StringSim.cosine(qv, tv)) }
+          .sortBy { case (_, idx, s) => (-s, idx) }
+          .take(k)
+      }
+    }.toDF("query_id", "train_id", "sim")
+    // merge per-token candidates: best score per (query, train row),
+    // then global rank per query, dedup-by-idx is implied by the max
+    val best = perToken.groupBy("query_id", "train_id")
+      .agg(max("sim").as("sim"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("train_id"))
+    best.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .as[Shot]
+  }
+
+  /** The memo effect of few_shots_save: score each distinct query
+    * text once, join results back to all occurrences. */
+  def withMemo[T](queries: DataFrame, textCol: String)(score: DataFrame => DataFrame): DataFrame = {
+    val distinctQ = queries.select(col(textCol)).distinct()
+    val scored = score(distinctQ)
+    queries.join(scored, Seq(textCol), "left_outer")
+  }
+}

@@ -26,7 +26,15 @@ object KGPipeline {
       relations: Dataset[Relation],
       links: Dataset[LinkMatch],
       canonicalMap: DataFrame, // (member, canonical)
-      triples: Dataset[Triple])
+      triples: Dataset[Triple],
+      extracted: Dataset[Extraction.TurnExtraction]) {
+    /** Release the pipeline's cached stages (extracted/links/canon). */
+    def unpersistAll(): Unit = {
+      extracted.unpersist()
+      links.unpersist()
+      canonicalMap.unpersist()
+    }
+  }
 
   def run(spark: SparkSession, cfg: TranscriptGen.Config): Result =
     run(spark, TranscriptGen.transcripts(spark, cfg), cfg)
@@ -38,16 +46,20 @@ object KGPipeline {
     //      brace/empty/oversized drop semantics
     val prompts = Extraction.buildPrompts(turns)
 
-    // 2. batched mention scorer + discussion-format parse
+    // 2-4. batched scorer, then the FUSED per-turn chain (parse →
+    //      verify → relations) in one narrow pass — the reference's
+    //      per-sentence run_prompt flow (pt_abstract.py:45-73). Only
+    //      the compact extraction rows are cached; raw text/responses
+    //      never cross a shuffle.
     val scored = Extraction.scoreMentions(prompts, cfg)
-    val mentions = Extraction.parseMentions(scored)
+    val extracted = Extraction.extractAll(scored, cfg).cache()
 
-    // 4. verification (kept before linking, like the reference's
-    //    verifier runs inside run_prompt, pt_abstract.py:62-67)
-    val verified = Extraction.verifyMentions(mentions, turns, cfg).cache()
-
-    // 3. relations from the two-stage chain over verified mentions
-    val relations = Extraction.extractRelations(scored, verified, cfg)
+    val mentions = extracted.flatMap(e =>
+      e.parsed.map { case (m, t) => Mention(e.conv_id, e.turn_idx, m, t) })
+    val verified = extracted.flatMap(e =>
+      e.verified.map { case (m, t) => Mention(e.conv_id, e.turn_idx, m, t) })
+    val relations = extracted.flatMap(e =>
+      e.relations.map { case (s, p, o) => Relation(e.conv_id, e.turn_idx, s, p, o) })
 
     // 5. entity linking against the broadcast catalogue
     val catalogue = Lexicon.catalogue.toArray
@@ -60,7 +72,7 @@ object KGPipeline {
     // 7. triple materialization
     val triples = materializeTriples(verified, relations, canon)
 
-    Result(turns, prompts, mentions, verified, relations, links, canon, triples)
+    Result(turns, prompts, mentions, verified, relations, links, canon, triples, extracted)
   }
 
   /** Maps a surface form through the canonical map (members are

@@ -1,0 +1,167 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.kg.LabelVersion
+
+/** Document-label evaluation pipeline reproducing
+  * ketl/mongo/testingLLMperformance.py end to end (SURVEY §3.3):
+  * model filter → max-confidence row per (doc,label,model) →
+  * date normalization → gold union with anti-join diagnostics →
+  * meta-label drop → per-(doc,label) user-vs-model containment check
+  * with the reference's two domain special cases → field-level and
+  * doc-level mean-of-means scores with wrong-document-type exclusion.
+  */
+object LabelEval {
+
+  /** '6536892d127f4f001df8215e' — the reference's NONE_USER sentinel
+    * (testingLLMperformance.py:5). */
+  val NoneUser = "6536892d127f4f001df8215e"
+
+  /** Models considered (testingLLMperformance.py:55). */
+  def filterModels(lv: Dataset[LabelVersion]): Dataset[LabelVersion] =
+    lv.filter(v => v.model == "user" || v.model.contains("llm - openai azure"))
+
+  /** filter_rows (testingLLMperformance.py:9-18): for 'entity' models
+    * keep only the max-confidence row with confidence ≥ 0.5 (none if
+    * all below); other models keep every row. Ties broken by earliest
+    * created_on then label_value (pandas idxmax keeps first). */
+  def maxConfPerGroup(lv: Dataset[LabelVersion]): Dataset[LabelVersion] = {
+    import lv.sparkSession.implicits._
+    val w = Window.partitionBy("doc_id", "label_name", "model")
+      .orderBy(col("confidence").desc, col("created_on"), col("label_value"))
+    lv.toDF()
+      .withColumn("rn", row_number().over(w))
+      .filter(!col("model").contains("entity") ||
+        (col("rn") === 1 && col("confidence") >= 0.5))
+      .drop("rn")
+      .as[LabelVersion]
+  }
+
+  /** format_date (testingLLMperformance.py:21-26): values of labels
+    * whose name contains 'date' normalized to yyyy-MM-dd. */
+  def normalizeDates(lv: DataFrame): DataFrame =
+    lv.withColumn("label_value",
+      when(lower(col("label_name")).contains("date"),
+        date_format(to_timestamp(col("label_value")), "yyyy-MM-dd"))
+        .otherwise(col("label_value")))
+
+  /** Meta-label drop (testingLLMperformance.py:75). */
+  def dropMetaLabels(lv: DataFrame): DataFrame =
+    lv.filter(!col("label_name").contains("-") &&
+      !col("label_name").isin("language", "description document"))
+
+  /** Doc ids present on only one side (anti-joins both ways,
+    * testingLLMperformance.py:69-71). */
+  def docsNotInBoth(a: DataFrame, b: DataFrame): DataFrame = {
+    val aIds = a.select("doc_id").distinct()
+    val bIds = b.select("doc_id").distinct()
+    aIds.join(bIds, Seq("doc_id"), "left_anti")
+      .union(bIds.join(aIds, Seq("doc_id"), "left_anti"))
+  }
+
+  /** check_label_value (testingLLMperformance.py:28-48) per
+    * (doc_id, label_name): 1 iff the user's value appears among model
+    * values, with two special cases that award 1 when the LLM stayed
+    * silent: user=='NONE_USER' on 'client', and a January-2024 user
+    * date on 'relevant date'. No user row → 0. */
+  def checkLabelValues(lv: DataFrame): DataFrame = {
+    val userRows = lv.filter(col("model") === "user")
+      .groupBy("doc_id", "label_name")
+      // pandas iloc[0] on the group: first by created_on for determinism
+      .agg(min_by(col("label_value"), col("created_on")).as("user_value"))
+    val modelRows = lv.filter(col("model") =!= "user")
+      .groupBy("doc_id", "label_name")
+      .agg(collect_set("label_value").as("model_values"),
+        count(lit(1)).as("n_model"))
+    val groups = lv.select("doc_id", "label_name").distinct()
+    groups
+      .join(userRows, Seq("doc_id", "label_name"), "left_outer")
+      .join(modelRows, Seq("doc_id", "label_name"), "left_outer")
+      .withColumn("n_model", coalesce(col("n_model"), lit(0L)))
+      .withColumn("output",
+        when(col("user_value").isNull, 0)
+          .when(lower(col("label_name")) === "client" && col("user_value") === NoneUser,
+            when(col("n_model") === 0, 1).otherwise(0))
+          .when(lower(col("label_name")) === "relevant date" &&
+            col("user_value").startsWith("2024-01"),
+            when(col("n_model") === 0, 1).otherwise(0))
+          .when(array_contains(coalesce(col("model_values"), array()), col("user_value")), 1)
+          .otherwise(0))
+      .select("doc_id", "label_name", "output")
+  }
+
+  /** get_results_by_label_name (testingLLMperformance.py:86-92). */
+  def resultsByLabel(scoreDf: DataFrame): DataFrame =
+    scoreDf.groupBy("label_name")
+      .agg(avg("output").as("mean_output"), count(lit(1)).as("count_values"))
+      .orderBy(col("count_values").desc)
+
+  final case class Scores(byFields: Double, byDocuments: Double, nFields: Long)
+
+  /** get_score_for_asked_fields (testingLLMperformance.py:104-112):
+    * drop never-compared docs, drop non-(client|document type) fields
+    * of docs whose 'document type' answer was wrong, then field mean
+    * and doc-level mean of per-doc means. */
+  def scores(scoreDf: DataFrame, noCompareDocs: DataFrame): Scores = {
+    val docWrongType = scoreDf
+      .filter(col("label_name") === "document type" && col("output") === 0)
+      .select("doc_id").distinct()
+    val s2 = scoreDf
+      .join(noCompareDocs, Seq("doc_id"), "left_anti")
+      .join(docWrongType.withColumnRenamed("doc_id", "wrong_doc"),
+        col("doc_id") === col("wrong_doc"), "left_outer")
+      .filter(col("wrong_doc").isNull ||
+        col("label_name").isin("client", "document type"))
+      .drop("wrong_doc")
+      .cache()
+    val n = s2.count()
+    if (n == 0) { s2.unpersist(); return Scores(0.0, 0.0, 0L) }
+    val byFields = s2.agg(avg("output")).head().getDouble(0)
+    val byDocs = s2.groupBy("doc_id").agg(avg("output").as("m"))
+      .agg(avg("m")).head().getDouble(0)
+    s2.unpersist()
+    Scores(byFields, byDocs, n)
+  }
+
+  /** Deterministic synthetic label_versions table (FIXTURES.md §6
+    * shape) for queries/bench: per doc a 'document type' + 2 value
+    * fields, each with a user row and 0-2 model rows whose agreement
+    * is hash-driven. */
+  def syntheticLabelVersions(spark: org.apache.spark.sql.SparkSession, nDocs: Long): Dataset[LabelVersion] = {
+    import spark.implicits._
+    import graft.functions.Hashing
+    spark.range(nDocs).flatMap { d =>
+      val docId = f"doc-$d%06d"
+      def h(salt: Long) = Hashing.hash64(d, salt)
+      val fields = Seq("document type", "client", "amount")
+      fields.zipWithIndex.flatMap { case (f, i) =>
+        val userVal = s"v${Hashing.bucket(h(i * 7 + 1), 5)}"
+        val base = new java.sql.Timestamp(1700000000000L + d * 1000 + i)
+        val user = LabelVersion(docId, f, userVal, 1.0, "user", base)
+        val nModels = Hashing.bucket(h(i * 7 + 2), 3)
+        val models = (0 until nModels).map { m =>
+          val agree = Hashing.bucket(h(i * 7 + 3 + m), 100) < 70
+          LabelVersion(docId, f,
+            if (agree) userVal else s"w${Hashing.bucket(h(i * 7 + 9 + m), 5)}",
+            0.4 + Hashing.toUnit(h(i * 7 + 13 + m)) * 0.6,
+            if (m == 0) "llm - openai azure" else "llm - openai azure entity",
+            new java.sql.Timestamp(base.getTime + m + 1))
+        }
+        user +: models
+      }
+    }
+  }
+
+  /** Full pipeline (get_LLM_performance, testingLLMperformance.py:50-84). */
+  def evaluate(lv: Dataset[LabelVersion], gold: DataFrame): (Scores, DataFrame) = {
+    val filtered = maxConfPerGroup(filterModels(lv)).toDF()
+    val normalized = normalizeDates(filtered)
+    val noCompare = docsNotInBoth(normalized, gold).cache()
+    val unioned = normalized.unionByName(gold, allowMissingColumns = true)
+    val cleaned = dropMetaLabels(unioned)
+    val scoreDf = checkLabelValues(cleaned).cache()
+    (scores(scoreDf, noCompare), scoreDf)
+  }
+}

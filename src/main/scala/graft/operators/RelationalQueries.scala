@@ -157,12 +157,14 @@ object RelationalQueries {
     val jw = udf((a: String, b: String) => StringSim.jaroWinkler(a, b))
     val s = t(spark, dir, "supplier").select("s_name")
     val c = t(spark, dir, "customer").select("c_name")
-    val w = Window.partitionBy("s_name").orderBy(col("jw").desc, col("c_name"))
-    s.join(broadcast(c)) // theta join: scored cross product, small side broadcast
+    // theta join: scored cross product with the small side broadcast;
+    // top-1 via a single aggregate (min over (-score, name)) instead of
+    // a full window sort — no per-group ordering of all pairs
+    s.join(broadcast(c))
       .withColumn("jw", round(jw(col("s_name"), col("c_name")), 6))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select("s_name", "c_name", "jw")
+      .groupBy("s_name")
+      .agg(min(struct((col("jw") * -1).as("njw"), col("c_name"), col("jw"))).as("best"))
+      .select(col("s_name"), col("best.c_name").as("c_name"), col("best.jw").as("jw"))
   }
 
   /** Brute-force cosine top-k ANN over the embedding column, double

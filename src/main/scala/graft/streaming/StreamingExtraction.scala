@@ -1,0 +1,58 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import graft.kg.{Extraction, Mention, Turn, TranscriptGen}
+
+/** Structured Streaming lift of the extraction stage (SURVEY §2.10).
+  * The per-turn chain is stateless once the scorer/few-shot index is
+  * frozen, so the SAME fused operator (parse → verify → relations)
+  * runs on a streaming Dataset[Turn] unchanged — `readStream` →
+  * transforms → `writeStream`. Windowed mention counts demonstrate
+  * watermark + event-time aggregation over the `ts` column.
+  * (The reference has no streaming — its Flask endpoint is a
+  * mutex-serialized request/response server, app.py:63-68 — so this
+  * is the documented optional extension, not a parity requirement.)
+  */
+object StreamingExtraction {
+
+  /** Stateless streaming extraction: works on any streaming
+    * Dataset[Turn] (kafka/file/memory source behind it). */
+  def extractionStream(turns: Dataset[Turn], cfg: TranscriptGen.Config): Dataset[Extraction.TurnExtraction] = {
+    val prompts = Extraction.buildPrompts(turns)
+    val scored = Extraction.scoreMentions(prompts, cfg)
+    Extraction.extractAll(scored, cfg)
+  }
+
+  /** Streaming mentions (exploded). */
+  def mentionStream(turns: Dataset[Turn], cfg: TranscriptGen.Config): Dataset[Mention] = {
+    import turns.sparkSession.implicits._
+    extractionStream(turns, cfg).flatMap(e =>
+      e.verified.map { case (m, t) => Mention(e.conv_id, e.turn_idx, m, t) })
+  }
+
+  /** Event-time windowed mention counts per tag with a watermark —
+    * the aggregation shape a monitoring sink would run. Event time is
+    * carried through the fused map (no stream-stream join needed). */
+  def windowedMentionCounts(turns: Dataset[Turn], cfg: TranscriptGen.Config,
+                            window: String = "10 minutes",
+                            watermark: String = "30 minutes"): DataFrame = {
+    val spark = turns.sparkSession
+    import spark.implicits._
+    val tagged = turns
+      .filter(t => t.text.nonEmpty && !t.text.contains("{"))
+      .mapPartitions { it =>
+        val matcher = graft.kg.Scorer.newMatcher()
+        it.flatMap { t =>
+          val resp = graft.kg.Scorer.mentionResponse(matcher, t.conv_id, t.turn_idx, t.text, cfg)
+          graft.functions.Parsers.parseTupleList(resp, Extraction.MentionTags)
+            .map { case (_, tag) => (t.ts, tag) }
+        }
+      }
+      .toDF("ts", "tag")
+    tagged
+      .withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window), col("tag"))
+      .agg(count(lit(1)).as("n_mentions"))
+  }
+}

@@ -1,0 +1,43 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.kg.FewShots
+import graft.functions.StringSim
+
+class FewShotsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  private val rnd = new scala.util.Random(3)
+  private def vec() = Array.fill(16)(rnd.nextGaussian().toFloat)
+
+  test("sentenceKnn matches local top-k (few_shots_techniques.py:71-81)") {
+    import spark.implicits._
+    val train = (0 until 50).map(i => (i.toLong, vec())).toArray
+    val queries = (100 until 105).map(i => (i.toLong, vec()))
+    val got = FewShots.sentenceKnn(queries.toDS(), train, k = 3)
+      .collect().groupBy(_.query_id)
+      .map { case (q, shots) => q -> shots.sortBy(_.rank).map(_.train_id).toSeq }
+    queries.foreach { case (qid, qv) =>
+      val expected = train.map { case (tid, tv) => (tid, StringSim.cosine(qv, tv)) }
+        .sortBy { case (tid, s) => (-s, tid) }.take(3).map(_._1).toSeq
+      assert(got(qid) == expected, s"query $qid")
+    }
+  }
+
+  test("entityKnn merges per-token hits, dedups by train idx (py:110-124)") {
+    import spark.implicits._
+    val trainTokens = (0 until 40).map(i => ((i / 4).toLong, vec())).toArray // 10 rows × 4 tokens
+    val qTokens = (0 until 3).map(p => (7L, p, vec()))
+    val got = FewShots.entityKnn(qTokens.toDS(), trainTokens, k = 4)
+      .collect().sortBy(_.rank)
+    assert(got.length == 4)
+    assert(got.map(_.train_id).distinct.length == 4) // deduped rows
+    assert(got.map(_.sim).sorted.reverse.toSeq == got.map(_.sim).toSeq) // score-desc
+    // best per train row = max over its token sims vs any query token
+    val expectBest = trainTokens.groupBy(_._1).map { case (idx, toks) =>
+      idx -> (for { (_, tv) <- toks; (_, _, qv) <- qTokens }
+        yield StringSim.cosine(qv, tv)).max
+    }
+    got.foreach { s => assert(math.abs(s.sim - expectBest(s.train_id)) < 1e-12) }
+  }
+}
