@@ -42,6 +42,12 @@ object SparkEntry {
       val prompts = Extraction.buildPrompts(TranscriptGen.transcripts(s, cfg))
       Extraction.parseMentions(Extraction.scoreMentions(prompts, cfg)).toDF()
     }),
+    "kg_mentions_atat" -> ((s, dir) => {
+      // the per-tag fan-out technique (pt_gpt_ner.py:28-38)
+      val cfg = cfgFor(dir)
+      val prompts = Extraction.buildPrompts(TranscriptGen.transcripts(s, cfg))
+      PromptTechniques.detectMentions(prompts, PromptTechniques.AtAt, cfg).toDF()
+    }),
     "kg_links" -> ((s, dir) => {
       val cfg = cfgFor(dir)
       val r = KGPipeline.run(s, cfg)

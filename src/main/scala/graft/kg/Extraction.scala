@@ -98,6 +98,42 @@ object Extraction {
     }
   }
 
+  /** One verified mention with its confidence level and numeric score
+    * (confidence_checker semantics; missing key → null level). */
+  final case class MentionConfidence(
+      conv_id: String,
+      turn_idx: Int,
+      mention: String,
+      tag: String,
+      level: String, // nullable
+      score: Double)
+
+  /** Confidence-checker pass (confidence_checker.py:7-35 +
+    * pt_abstract.py:68-71): one scorer call per turn attaching a
+    * level to each verified span; spans missing from the response
+    * dict get a null level and score 0 (the reference degenerates
+    * them to the literal 'None'). Narrow over the extracted rows. */
+  def withConfidence(extracted: Dataset[TurnExtraction],
+                     cfg: TranscriptGen.Config): Dataset[MentionConfidence] = {
+    import extracted.sparkSession.implicits._
+    extracted.mapPartitions { it =>
+      it.flatMap { e =>
+        if (e.verified.isEmpty) Iterator.empty
+        else {
+          // the scorer needs the turn text only to seed; confidence is
+          // per-mention content-hashed, so pass a stable surrogate
+          val resp = Scorer.confidenceResponse(e.conv_id, e.turn_idx, "", e.verified, cfg)
+          Parsers.parseConfidenceJson(resp, e.verified.toList).iterator.map {
+            case (ne, tag, levelOpt) =>
+              MentionConfidence(e.conv_id, e.turn_idx, ne, tag,
+                levelOpt.orNull,
+                levelOpt.flatMap(Parsers.ConfidenceLevels.get).getOrElse(0.0))
+          }
+        }
+      }
+    }
+  }
+
   /** Two-stage chain (pt_multi_pt.py:81-90 shape): stage-1 mentions
     * grouped back per turn feed the relation scorer; responses are
     * filing-format dicts parsed and split into (subj, pred, obj).

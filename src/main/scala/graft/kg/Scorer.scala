@@ -112,6 +112,21 @@ object Scorer {
       s"$body <end_output>"
   }
 
+  /** Confidence-checker response (confidence_checker.py:7-17): one
+    * json dict of mention → level per turn; a deterministic per-mille
+    * of mentions are omitted from the dict (the reference's missing-
+    * key → 'None' path). Levels derive from the mention hash. */
+  def confidenceResponse(convId: String, turnIdx: Int, text: String,
+                         spans: Seq[(String, String)], cfg: TranscriptGen.Config): String = {
+    val levels = Vector("low", "medium-low", "medium", "medium-high", "high")
+    val entries = spans.flatMap { case (ne, tag) =>
+      val h = Hashing.hash64(s"$convId#$turnIdx#$ne/$tag", cfg.seed ^ 0x4004)
+      if (Hashing.bucket(h, 1000) < cfg.verifierNoisePerMille) None // omitted key
+      else Some(s"${pyStr(ne)}: ${pyStr(levels(3 + Hashing.bucket(h, 2)))}") // medium-high/high for real mentions
+    }
+    entries.mkString("{", ", ", "} <end_output>")
+  }
+
   /** Verifier response: yes unless content-hash noise says no. */
   def verifierResponse(convId: String, turnIdx: Int, mention: String, tag: String, text: String,
                        cfg: TranscriptGen.Config): String = {

@@ -1,0 +1,58 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.kg._
+
+class ExperimentsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  test("leaderboard: mean + t-CI per config, sorted desc") {
+    import spark.implicits._
+    val runs = Seq(
+      Experiments.RunScore("m1", "discussion", 3, 0, 0.6, 0.7, 0.5, 10),
+      Experiments.RunScore("m1", "discussion", 3, 1, 0.5, 0.6, 0.4, 11),
+      Experiments.RunScore("m1", "discussion", 3, 2, 0.7, 0.8, 0.6, 12),
+      Experiments.RunScore("m1", "wrapper", 3, 0, 0.9, 0.9, 0.9, 9),
+      Experiments.RunScore("m1", "wrapper", 3, 1, 0.8, 0.8, 0.8, 9)).toDS()
+    val lb = Experiments.leaderboard(runs).collect()
+    assert(lb.head.getString(1) == "wrapper")
+    val disc = lb.find(_.getString(1) == "discussion").get
+    assert(math.abs(disc.getDouble(4) - 0.6) < 1e-9)
+    assert(disc.getDouble(5) < 0.6 && disc.getDouble(6) > 0.6)
+    assert(disc.getInt(3) == 3)
+  }
+
+  test("runWithMetrics records per-stage lineage rows") {
+    val cfg = TranscriptGen.Config(nConvs = 20)
+    val (result, metrics) = Experiments.runWithMetrics(
+      spark, TranscriptGen.transcripts(spark, cfg), cfg, "test-run")
+    val m = metrics.collect().map(s => s.stage -> s).toMap
+    assert(m.keySet == Set("prompts", "extract", "verify", "link", "canonicalize", "materialize"))
+    // prompts stage drops the brace/empty/oversized turns
+    assert(m("prompts").dropped > 0)
+    // verify drops a small number of mentions
+    assert(m("verify").rows_out <= m("verify").rows_in)
+    assert(m("materialize").rows_out == result.triples.count())
+    assert(metrics.collect().forall(_.run_id == "test-run"))
+    result.unpersistAll()
+  }
+
+  test("confidence stage attaches levels; missing keys → null level") {
+    import spark.implicits._
+    val cfg = TranscriptGen.Config(nConvs = 40)
+    val extracted = Extraction.extractAll(
+      Extraction.scoreMentions(
+        Extraction.buildPrompts(TranscriptGen.transcripts(spark, cfg)), cfg), cfg)
+    val conf = Extraction.withConfidence(extracted, cfg).cache()
+    val n = conf.count()
+    assert(n > 0)
+    val withLevel = conf.filter(_.level != null)
+    assert(withLevel.count() > n * 9 / 10)
+    assert(withLevel.collect().forall(c => c.score >= 0.7)) // medium-high/high
+    // deterministic
+    val again = Extraction.withConfidence(extracted, cfg)
+      .collect().map(c => (c.conv_id, c.turn_idx, c.mention, c.level)).toSet
+    assert(again == conf.collect().map(c => (c.conv_id, c.turn_idx, c.mention, c.level)).toSet)
+    conf.unpersist()
+  }
+}
