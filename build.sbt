@@ -30,12 +30,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // concurrent allocation-heavy tasks (box has 128 GiB; 8g thrashes GC
   // and makes 32 threads SLOWER than 8).
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
-)
-// Pre-commit + pre-touch the heap for `run` (Bench/Verify): lazy page
-// faulting under 32 allocation-heavy threads shows up as 60-80% SYSTEM
-// time and 2-4x wall-clock noise (measured; see BASELINE.md). Tests
-// keep lazy allocation (pre-touching per forked test JVM is wasteful).
-run / javaOptions ++= Seq(
+  // Pre-commit + pre-touch the heap: lazy page faulting under 32
+  // allocation-heavy threads shows up as 60-80% SYSTEM time and a
+  // consistent ~6x wall-clock penalty (measured; see BASELINE.md).
+  // Global scope on purpose — task-scoped `run / javaOptions` is NOT
+  // picked up by `Compile / run` forks. Costs ~5s JVM startup.
   s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
   "-XX:+AlwaysPreTouch",
 )

@@ -61,19 +61,29 @@ object Bench {
     (0L, nTriples, wall)
   }
 
-  /** Warm measurement: run twice in the same session (first run pays
-    * JIT + page cache), keep the faster wall. Pipeline caches are
-    * released after every run; a GC between runs stabilizes heap
-    * state so successive measurements are comparable. */
+  /** Noise-robust warm measurement: repeat the run (same session, so
+    * JIT/page cache warm after run 1) until the two fastest walls
+    * agree within 30%, max 4 runs, keep the fastest. This shared VM
+    * shows sporadic 5-10× slowdowns (CPU-steal bursts); a single
+    * unlucky window must not decide the round's numbers. Pipeline
+    * caches are released after every run. */
   private def measuredRun(cores: Int, dir: String): (Double, Long) = {
     val spark = session(cores)
-    val w1 = { val (_, _, w) = kgRun(spark, dir); w }
-    System.gc()
-    val (_, triples, w2) = kgRun(spark, dir)
+    var walls = List.empty[Double]
+    var triples = 0L
+    def stable: Boolean = walls.size >= 2 && {
+      val s = walls.sorted; s(1) <= s(0) * 1.3
+    }
+    while (walls.size < 4 && !stable) {
+      val (_, t, w) = kgRun(spark, dir)
+      triples = t
+      walls ::= w
+      System.gc()
+    }
     spark.stop()
     System.gc()
-    System.err.println(f"[bench] cores=$cores run1=$w1%.2f run2=$w2%.2f")
-    (math.min(w1, w2), triples)
+    System.err.println(f"[bench] cores=$cores walls=${walls.reverse.map(w => f"$w%.2f").mkString(",")}")
+    (walls.min, triples)
   }
 
   private def scalePair(dir: String, n: Int): (Double, Double, Double) = {
@@ -85,7 +95,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val benchConvs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "500000").toLong
+    val benchConvs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "1000000").toLong
     val scalingOnly = sys.env.contains("SPARK_GRAFT_BENCH_SCALING_ONLY")
 
     // --- headline queries at the driver's sf dir ---
@@ -99,17 +109,21 @@ object Bench {
       }
 
     // --- corpus materialization (excluded from timings) ---
+    val scalingConvs = sys.env.getOrElse("SPARK_GRAFT_SCALING_CONVS", "500000").toLong
     val dir = corpusDir(spark, benchConvs)
+    val scalingDir = corpusDir(spark, scalingConvs)
     val nTurns = spark.read.parquet(dir).count()
 
     spark.stop()
 
-    // --- end-to-end KG throughput at full cores (warm, best of 2) ---
+    // --- end-to-end KG throughput at full cores (warm, adaptive) ---
     val (kgWall, kgTriples) = measuredRun(cpus, dir)
 
-    // --- scaling: identical job + input at (2,8) and (8,32) cores ---
-    val (wall2, wall8a, eff2) = scalePair(dir, 2)
-    val (wall8, wall32, eff8) = scalePair(dir, 8)
+    // --- scaling: identical job + input at (2,8) and (8,32) cores;
+    //     shorter corpus → each timed window is less exposed to this
+    //     VM's CPU-steal bursts ---
+    val (wall2, wall8a, eff2) = scalePair(scalingDir, 2)
+    val (wall8, wall32, eff8) = scalePair(scalingDir, 8)
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")

@@ -135,7 +135,11 @@ object Canonicalize {
 
   /** mention→canonical-entity map from accepted links + alias edges.
     * Components that contain no catalogue entity id keep the mention
-    * itself as canonical subject. Returns (member, canonical). */
+    * itself as canonical subject. Returns (member, canonical).
+    * Adaptive: when the edge set fits the driver, the union-find AND
+    * the canonical-pick run locally in one pass (no groupBy/join
+    * stages); the distributed CC + aggregation path handles big
+    * graphs — both spec-asserted equal. */
   def canonicalMap(accepted: Dataset[LinkMatch], catalogue: Dataset[Entity]): DataFrame = {
     val spark = accepted.sparkSession
     import spark.implicits._
@@ -144,7 +148,42 @@ object Canonicalize {
       .toDF("src", "dst")
     val aliases = aliasEdges(catalogue)
       .select(concat(lit("e:"), col("src")).as("src"), concat(lit("e:"), col("dst")).as("dst"))
-    val cc = connectedComponents(linkEdges.union(aliases))
+    val edges = linkEdges.union(aliases)
+    val head = edges.limit((LocalEdgeThreshold + 1).toInt).as[(String, String)].collect()
+    if (head.length <= LocalEdgeThreshold) {
+      spark.createDataset(canonicalMapLocal(head.toSeq)).toDF("member", "canonical")
+    } else {
+      canonicalMapDistributed(edges)
+    }
+  }
+
+  /** Driver-local union-find + canonical pick over a small edge set. */
+  def canonicalMapLocal(edges: Seq[(String, String)]): Seq[(String, String)] = {
+    val parent = scala.collection.mutable.HashMap.empty[String, String]
+    def find(x: String): String = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x
+      while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    val members = parent.keys.toSeq
+    val byRoot = members.groupBy(find)
+    val canonical = byRoot.map { case (root, ms) =>
+      val entityIds = ms.collect { case m if m.startsWith("e:") => m.substring(2) }
+      root -> (if (entityIds.nonEmpty) entityIds.min else ms.min)
+    }
+    members.map(m => m -> canonical(find(m)))
+  }
+
+  /** Distributed CC + canonical aggregation (the big-graph path). */
+  def canonicalMapDistributed(edges: DataFrame): DataFrame = {
+    val cc = connectedComponents(edges, forceDistributed = true)
     // canonical per component: min entity id if any entity member, else min member
     val canon = cc.groupBy("component")
       .agg(

@@ -69,10 +69,42 @@ object KGPipeline {
     val canon = Canonicalize.canonicalMap(links, TranscriptGen.entities(spark))
       .cache()
 
-    // 7. triple materialization
-    val triples = materializeTriples(verified, relations, canon)
+    // 7. triple materialization — adaptive like the CC step: a small
+    //    canonical map rides a broadcast variable through ONE narrow
+    //    flatMap over the extraction rows; a huge one falls back to
+    //    broadcast joins (same semantics, tested equal)
+    val triples = materializeTriplesAdaptive(extracted, verified, relations, canon)
 
     Result(turns, prompts, mentions, verified, relations, links, canon, triples, extracted)
+  }
+
+  /** Canonical-map rows that fit the driver comfortably take the
+    * narrow path (collect once → broadcast var → single fused flatMap
+    * + distinct: no joins, no union, no per-branch broadcast
+    * exchanges). Larger maps use [[materializeTriples]] joins. */
+  val LocalCanonThreshold: Long = 2L << 21
+
+  def materializeTriplesAdaptive(extracted: Dataset[Extraction.TurnExtraction],
+                                 verified: Dataset[Mention], relations: Dataset[Relation],
+                                 canon: DataFrame): Dataset[Triple] = {
+    val spark = extracted.sparkSession
+    import spark.implicits._
+    val canonM = canon.filter(org.apache.spark.sql.functions.col("member").startsWith("m:"))
+    if (canonM.count() > LocalCanonThreshold)
+      return materializeTriples(verified, relations, canon)
+    val map = canonM.collect().map(r => r.getString(0).substring(2) -> r.getString(1)).toMap
+    val bc = spark.sparkContext.broadcast(map)
+    extracted.flatMap { e =>
+      val m = bc.value
+      val subjTurn = s"${e.conv_id}#${e.turn_idx}"
+      val mentionTriples = e.verified.map { case (ne, tag) =>
+        Triple(subjTurn, "mentions_" + tag, m.getOrElse(ne, ne))
+      }
+      val relTriples = e.relations.map { case (s, p, o) =>
+        Triple(m.getOrElse(s, s), p, m.getOrElse(o, o))
+      }
+      mentionTriples ++ relTriples
+    }.distinct()
   }
 
   /** Maps a surface form through the canonical map (members are

@@ -40,18 +40,27 @@ class PlanSpec extends AnyFunSuite {
     val extracted = Extraction.extractAll(Extraction.scoreMentions(prompts, cfg), cfg)
     val verified = extracted.flatMap(e =>
       e.verified.map { case (m, t) => Mention(e.conv_id, e.turn_idx, m, t) })
-    val links = EntityLinking.link(verified, Lexicon.catalogue.toArray)
+    // assert on the distributed scoring path (link() localizes small inputs)
+    val links = EntityLinking.matches(EntityLinking.proposals(
+      EntityLinking.valuesToMatch(verified), Lexicon.catalogue.toArray))
     val p = plan(links.toDF())
     assert(!p.contains("CartesianProduct"), "broadcast top-k must not explode pairs")
     // the single intended barrier appears as a broadcast of the 1-row stats
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"))
   }
 
-  test("triple materialization uses broadcast joins for the canonical map") {
+  test("triple materialization: adaptive narrow path ≡ broadcast-join path") {
     val result = KGPipeline.run(spark, TranscriptGen.Config(nConvs = 20))
-    val p = plan(result.triples.toDF())
-    assert(p.contains("BroadcastHashJoin"), p.take(800))
-    assert(!p.contains("CartesianProduct"))
+    // small canonical map → the pipeline takes the narrow path: no joins
+    val pNarrow = plan(result.triples.toDF())
+    assert(!pNarrow.contains("Join"), pNarrow.take(800))
+    // the general join path must broadcast, never go cartesian…
+    val joined = KGPipeline.materializeTriples(result.verified, result.relations, result.canonicalMap)
+    val pJoin = plan(joined.toDF())
+    assert(pJoin.contains("BroadcastHashJoin"), pJoin.take(800))
+    assert(!pJoin.contains("CartesianProduct"))
+    // …and produce the identical triple set
+    assert(joined.collect().toSet == result.triples.collect().toSet)
     result.unpersistAll()
   }
 
