@@ -70,6 +70,16 @@ object SparkEntry {
     "text_fingerprints" -> ((s, dir) =>
       operators.TextOps.fingerprintPostings(
         s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")),
+    "kg_mention_confidence" -> ((s, dir) => {
+      val cfg = cfgFor(dir)
+      val prompts = Extraction.buildPrompts(TranscriptGen.transcripts(s, cfg))
+      val extracted = Extraction.extractAll(Extraction.scoreMentions(prompts, cfg), cfg)
+      Extraction.withConfidence(extracted, cfg).toDF()
+    }),
+    "skew_salted_count" -> ((s, dir) => {
+      val cfg = cfgFor(dir)
+      operators.Skew.saltedCount(TranscriptGen.goldMentions(s, cfg).toDF(), "mention")
+    }),
     "label_eval" -> ((s, dir) => {
       val n = if (dir.contains("sf0.1")) 5000L else if (dir.contains("sf0.01")) 1000L else 200L
       val lvs = operators.LabelEval.syntheticLabelVersions(s, n)

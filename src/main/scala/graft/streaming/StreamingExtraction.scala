@@ -31,6 +31,30 @@ object StreamingExtraction {
       e.verified.map { case (m, t) => Mention(e.conv_id, e.turn_idx, m, t) })
   }
 
+  /** Stateful per-conversation extraction state via
+    * mapGroupsWithState (the construct canonicalization would need in
+    * a fully streaming deployment, SURVEY §2.10): cumulative mention
+    * counts and the max turn seen per conversation, updated batch by
+    * batch. */
+  final case class ConvState(conv_id: String, n_mentions: Long, max_turn: Int)
+
+  def conversationState(turns: Dataset[Turn], cfg: TranscriptGen.Config): Dataset[ConvState] = {
+    import turns.sparkSession.implicits._
+    extractionStream(turns, cfg)
+      .groupByKey(_.conv_id)
+      .mapGroupsWithState[ConvState, ConvState] {
+        (convId: String, rows: Iterator[Extraction.TurnExtraction],
+         state: org.apache.spark.sql.streaming.GroupState[ConvState]) =>
+          val prev = state.getOption.getOrElse(ConvState(convId, 0L, -1))
+          val batch = rows.toSeq
+          val next = ConvState(convId,
+            prev.n_mentions + batch.map(_.verified.size).sum,
+            math.max(prev.max_turn, if (batch.isEmpty) -1 else batch.map(_.turn_idx).max))
+          state.update(next)
+          next
+      }
+  }
+
   /** Event-time windowed mention counts per tag with a watermark —
     * the aggregation shape a monitoring sink would run. Event time is
     * carried through the fused map (no stream-stream join needed). */

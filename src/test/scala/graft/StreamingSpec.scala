@@ -37,6 +37,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("mapGroupsWithState accumulates per-conversation state across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val allTurns = (0L until 6L).flatMap { c =>
+      (0 until TranscriptGen.turnsFor(c, cfg)).map(t => TranscriptGen.genTurn(c, t, cfg).turn)
+    }
+    val (first, second) = allTurns.partition(_.turn_idx < 4)
+    val stream = MemoryStream[Turn]
+    val states = StreamingExtraction.conversationState(stream.toDS(), cfg)
+    val q = states.writeStream
+      .format("memory").queryName("conv_state")
+      .outputMode("update")
+      .start()
+    stream.addData(first)
+    q.processAllAvailable()
+    stream.addData(second)
+    q.processAllAvailable()
+    q.stop()
+    val finalStates = spark.table("conv_state")
+      .groupBy("conv_id")
+      .agg(org.apache.spark.sql.functions.max("n_mentions").as("n_mentions"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // cumulative counts must equal the batch pipeline's per-conv totals
+    val batch = graft.kg.KGPipeline.run(spark, allTurns.toDS(), cfg)
+      .verified.collect().groupBy(_.conv_id).view.mapValues(_.length.toLong).toMap
+    batch.foreach { case (conv, n) =>
+      assert(finalStates.get(conv).contains(n), s"$conv: ${finalStates.get(conv)} vs $n")
+    }
+  }
+
   test("windowed mention counts with watermark run on a stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
