@@ -95,7 +95,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val benchConvs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "1000000").toLong
+    // 500k convs ≈ 5M turns keeps the whole bench ~6 min; the 1M-conv
+    // headline (1.42M triples/sec) in BASELINE.md reproduces with
+    // SPARK_GRAFT_BENCH_CONVS=1000000
+    val benchConvs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "500000").toLong
     val scalingOnly = sys.env.contains("SPARK_GRAFT_BENCH_SCALING_ONLY")
 
     // --- headline queries at the driver's sf dir ---
