@@ -80,22 +80,43 @@ object Extraction {
     scored.mapPartitions { it =>
       it.map { s =>
         val parsed = Parsers.parseTupleList(s.response, MentionTags)
-        val verified = parsed.filter { case (ne, tag) =>
-          val resp = Scorer.verifierResponse(s.conv_id, s.turn_idx, ne, tag, s.text, cfg)
-          Parsers.verifierAnswer(resp).contains(true)
-        }
-        val ordered = verified.sortBy { case (m, _) =>
-          val i = s.text.indexOf(m); if (i < 0) Int.MaxValue else i
-        }
-        val relResp = Scorer.relationResponse(s.conv_id, s.turn_idx, s.text, ordered, cfg)
-        val rels = Parsers.parseFilingJson(relResp, Scorer.RelationPreds).flatMap { case (pair, pred) =>
-          val arrow = pair.indexOf(" -> ")
-          if (arrow < 0) Nil
-          else List((pair.substring(0, arrow), pred, pair.substring(arrow + 4)))
-        }
-        TurnExtraction(s.conv_id, s.turn_idx, parsed, verified, rels)
+        extractTurn(s, parsed, cfg)
       }
     }
+  }
+
+  /** Technique-parameterized variant: detection runs under any of the
+    * five prompt techniques (scoring + parsing fused, like the
+    * discussion path), then the shared verify/relations chain. */
+  def extractAllWith(prompts: Dataset[Prompt], tech: graft.kg.PromptTechniques.Technique,
+                     cfg: TranscriptGen.Config): Dataset[TurnExtraction] = {
+    import prompts.sparkSession.implicits._
+    prompts.mapPartitions { it =>
+      val m = Scorer.newMatcher()
+      it.map { p =>
+        val parsed = PromptTechniques.parse(tech,
+          PromptTechniques.respond(tech, m, p.conv_id, p.turn_idx, p.text, cfg))
+        extractTurn(Scored(p.conv_id, p.turn_idx, p.text, ""), parsed, cfg)
+      }
+    }
+  }
+
+  private def extractTurn(s: Scored, parsed: List[(String, String)],
+                          cfg: TranscriptGen.Config): TurnExtraction = {
+    val verified = parsed.filter { case (ne, tag) =>
+      val resp = Scorer.verifierResponse(s.conv_id, s.turn_idx, ne, tag, s.text, cfg)
+      Parsers.verifierAnswer(resp).contains(true)
+    }
+    val ordered = verified.sortBy { case (m, _) =>
+      val i = s.text.indexOf(m); if (i < 0) Int.MaxValue else i
+    }
+    val relResp = Scorer.relationResponse(s.conv_id, s.turn_idx, s.text, ordered, cfg)
+    val rels = Parsers.parseFilingJson(relResp, Scorer.RelationPreds).flatMap { case (pair, pred) =>
+      val arrow = pair.indexOf(" -> ")
+      if (arrow < 0) Nil
+      else List((pair.substring(0, arrow), pred, pair.substring(arrow + 4)))
+    }
+    TurnExtraction(s.conv_id, s.turn_idx, parsed, verified, rels)
   }
 
   /** One verified mention with its confidence level and numeric score

@@ -39,7 +39,8 @@ object KGPipeline {
   def run(spark: SparkSession, cfg: TranscriptGen.Config): Result =
     run(spark, TranscriptGen.transcripts(spark, cfg), cfg)
 
-  def run(spark: SparkSession, turns: Dataset[Turn], cfg: TranscriptGen.Config): Result = {
+  def run(spark: SparkSession, turns: Dataset[Turn], cfg: TranscriptGen.Config,
+          technique: PromptTechniques.Technique = PromptTechniques.Discussion): Result = {
     import spark.implicits._
 
     // 1-2. order is carried by (conv_id, turn_idx) keys; prompts with
@@ -50,9 +51,15 @@ object KGPipeline {
     //      verify → relations) in one narrow pass — the reference's
     //      per-sentence run_prompt flow (pt_abstract.py:45-73). Only
     //      the compact extraction rows are cached; raw text/responses
-    //      never cross a shuffle.
-    val scored = Extraction.scoreMentions(prompts, cfg)
-    val extracted = Extraction.extractAll(scored, cfg).cache()
+    //      never cross a shuffle. Any of the five prompt techniques
+    //      can drive detection (classical_test's grid axis,
+    //      llm/LLMModel.py:164-169).
+    val extracted = (technique match {
+      case PromptTechniques.Discussion =>
+        Extraction.extractAll(Extraction.scoreMentions(prompts, cfg), cfg)
+      case other =>
+        Extraction.extractAllWith(prompts, other, cfg)
+    }).cache()
 
     val mentions = extracted.flatMap(e =>
       e.parsed.map { case (m, t) => Mention(e.conv_id, e.turn_idx, m, t) })
