@@ -240,7 +240,37 @@ object RelationalQueries {
       .select("doc_id", "n_numeric", "n_alpha")
   }
 
+  /** Set intersect (set(gold) & set(pred), myMongoClient.py:152). */
+  def q21Intersect(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events")
+    e.filter(col("event_type") === "purchase").select("user_id").distinct()
+      .intersect(e.filter(col("event_type") === "view").select("user_id").distinct())
+  }
+
+  /** Global sort + limit with deterministic tie-break (result
+    * leaderboard sort, ResultInstance.py:145). */
+  def q22TopkGlobal(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(20)
+      .select("o_orderkey", "o_totalprice")
+
+  /** Global min-max normalization with the reference's +0.05 smoothing
+    * (entityMatching.py:90-92) — the pipeline's one intentional
+    * barrier, as a 1-row aggregate crossJoin. */
+  def q23MinMaxNorm(spark: SparkSession, dir: String): DataFrame = {
+    val s = t(spark, dir, "supplier")
+    val stats = s.agg(min("s_acctbal").as("min_"), max("s_acctbal").as("max_"))
+    s.crossJoin(broadcast(stats))
+      .select(col("s_suppkey"),
+        round((col("s_acctbal") - col("min_")) / (col("max_") + 0.05 - col("min_")), 6)
+          .as("norm"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q21_intersect" -> q21Intersect,
+    "q22_topk_global" -> q22TopkGlobal,
+    "q23_minmax_norm" -> q23MinMaxNorm,
     "q01_pricing_agg" -> q01PricingAgg,
     "q02_topk_window" -> q02TopkWindow,
     "q03_margin_confidence" -> q03MarginConfidence,
@@ -266,6 +296,17 @@ object RelationalQueries {
   /** DuckDB oracle SQL — same table names, same output column names,
     * same rounding. */
   val oracle: Map[String, String] = Map(
+    "q21_intersect" ->
+      """SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+        |INTERSECT
+        |SELECT DISTINCT user_id FROM events WHERE event_type = 'view'""".stripMargin,
+    "q22_topk_global" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
+    "q23_minmax_norm" ->
+      """SELECT s_suppkey,
+        | round((s_acctbal - mn) / (mx + 0.05 - mn), 6) AS norm
+        |FROM supplier, (SELECT min(s_acctbal) AS mn, max(s_acctbal) AS mx FROM supplier)""".stripMargin,
     "q01_pricing_agg" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity), 2) AS sum_qty,
