@@ -21,8 +21,12 @@ object SparkEntry {
   private val SmokeCfg = TranscriptGen.Config(nConvs = 40)
 
   /** Flagship: end-to-end KG triples. Driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    KGPipeline.run(spark, SmokeCfg).triples.toDF()
+  def entry(spark: SparkSession): DataFrame = {
+    val r = KGPipeline.run(spark, SmokeCfg)
+    val out = r.triples.toDF().localCheckpoint()
+    r.unpersistAll()
+    out
+  }
 
   private def cfgFor(sfDir: String): TranscriptGen.Config = {
     // scale the synthetic corpus with the driver's sf directory
@@ -32,11 +36,22 @@ object SparkEntry {
     TranscriptGen.Config(nConvs = nConvs)
   }
 
+  /** Run the KG pipeline, materialize one stage's output decoupled
+    * from the pipeline's cached datasets (localCheckpoint), then
+    * release the caches — repeated invocations in a shared session
+    * (Verify, Bench) must not accumulate cached stages. */
+  private def kgQuery(s: SparkSession, dir: String)(pick: KGPipeline.Result => DataFrame): DataFrame = {
+    val r = KGPipeline.run(s, cfgFor(dir))
+    val out = pick(r).localCheckpoint()
+    r.unpersistAll()
+    out
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.operators.RelationalQueries.all ++ Map(
     // ---- KG pipeline stages (rows-only checks; parity in tests) ----
-    "kg_triples" -> ((s, dir) => KGPipeline.run(s, cfgFor(dir)).triples.toDF()),
+    "kg_triples" -> ((s, dir) => kgQuery(s, dir)(_.triples.toDF())),
     "kg_mentions" -> ((s, dir) => {
       val cfg = cfgFor(dir)
       val prompts = Extraction.buildPrompts(TranscriptGen.transcripts(s, cfg))
@@ -48,11 +63,7 @@ object SparkEntry {
       val prompts = Extraction.buildPrompts(TranscriptGen.transcripts(s, cfg))
       PromptTechniques.detectMentions(prompts, PromptTechniques.AtAt, cfg).toDF()
     }),
-    "kg_links" -> ((s, dir) => {
-      val cfg = cfgFor(dir)
-      val r = KGPipeline.run(s, cfg)
-      r.links.toDF()
-    }),
+    "kg_links" -> ((s, dir) => kgQuery(s, dir)(_.links.toDF())),
 
     // ---- training-data pipeline ops (rows-only; accuracy specs in tests) ----
     "dedup_minhash_clusters" -> ((s, dir) =>

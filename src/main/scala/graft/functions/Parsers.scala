@@ -47,8 +47,16 @@ object Parsers {
     "PER" -> "person", "ORG" -> "organization", "LOC" -> "location",
     "MISC" -> "miscellaneous")
 
-  private def sliceClamped(s: String, from: Int, until: Int): String =
-    s.substring(from, math.min(until, s.length))
+  /** Python-slice semantics: `s[from:until]` never throws — a window
+    * whose close delimiter precedes its open delimiter (real LLM
+    * output: "x)] then [('A','PER')") yields "" and the caller's
+    * literal-eval falls back to empty, exactly like the reference's
+    * `response[start:end+2]`. */
+  private def sliceClamped(s: String, from: Int, until: Int): String = {
+    val f = math.max(0, math.min(from, s.length))
+    val u = math.max(f, math.min(until, s.length))
+    s.substring(f, u)
+  }
 
   private def distinctFirst[A](xs: Seq[A]): List[A] = {
     val seen = scala.collection.mutable.LinkedHashSet.empty[A]

@@ -49,9 +49,15 @@ object StringSim {
   }
 
   /** Jaro-Winkler (entityMatching.py:52,62 `jaro.jaro_winkler_metric`):
-    * standard 0.1 prefix scale over at most 4 common prefix chars. */
+    * strcmp95 lineage — the 0.1 prefix boost (≤4 common prefix chars)
+    * applies ONLY when the Jaro score exceeds the 0.7 boost threshold,
+    * matching the reference's `jaro` pip package and DuckDB's
+    * jaro_winkler_similarity (fixture-pinned in StringSimSpec). */
+  val WinklerBoostThreshold = 0.7
+
   def jaroWinkler(s1: String, s2: String): Double = {
     val j = jaro(s1, s2)
+    if (j <= WinklerBoostThreshold) return j
     var prefix = 0
     val max = math.min(4, math.min(s1.length, s2.length))
     while (prefix < max && s1.charAt(prefix) == s2.charAt(prefix)) prefix += 1

@@ -34,7 +34,7 @@ object Canonicalize {
     * Above the threshold the distributed hash-min loop runs. */
   val LocalEdgeThreshold: Long = 2L << 21 // ~4M edges ≈ a few hundred MB driver-side
 
-  def connectedComponents(edges: DataFrame, maxIter: Int = 20,
+  def connectedComponents(edges: DataFrame, maxIter: Int = 50,
                           forceDistributed: Boolean = false): DataFrame = {
     val spark = edges.sparkSession
     val sym = edges.select(col("src"), col("dst"))
@@ -91,6 +91,9 @@ object Canonicalize {
 
     var changed = 1L
     var iter = 0
+    // maxIter is a safety valve, not an accuracy knob: rounds needed =
+    // O(graph diameter); leaving the loop with changed > 0 would
+    // silently return WRONG component labels, so that case throws.
     while (changed > 0 && iter < maxIter) {
       // candidate label for each vertex: min over neighbors' labels
       val viaNeighbors = sym.join(labels, sym("src") === labels("vertex"))
@@ -106,6 +109,10 @@ object Canonicalize {
       labels = joined.select(col("vertex"), col("newLabel").as("label")).localCheckpoint()
       iter += 1
     }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds " +
+          s"($changed labels still changing) — raise maxIter (rounds ≈ graph diameter)")
     labels.withColumnRenamed("label", "component")
   }
 
@@ -148,13 +155,18 @@ object Canonicalize {
       .toDF("src", "dst")
     val aliases = aliasEdges(catalogue)
       .select(concat(lit("e:"), col("src")).as("src"), concat(lit("e:"), col("dst")).as("dst"))
-    val edges = linkEdges.union(aliases)
-    val head = edges.limit((LocalEdgeThreshold + 1).toInt).as[(String, String)].collect()
-    if (head.length <= LocalEdgeThreshold) {
-      spark.createDataset(canonicalMapLocal(head.toSeq)).toDF("member", "canonical")
-    } else {
-      canonicalMapDistributed(edges)
-    }
+    // cheap COUNT probe picks the path; rows are collected only once
+    // the local path is chosen (never fetch-and-discard hundreds of MB
+    // just to decide). The edge set is cached across probe + collect.
+    val edges = linkEdges.union(aliases).cache()
+    try {
+      if (edges.count() <= LocalEdgeThreshold) {
+        val local = edges.as[(String, String)].collect()
+        spark.createDataset(canonicalMapLocal(local.toSeq)).toDF("member", "canonical")
+      } else {
+        canonicalMapDistributed(edges)
+      }
+    } finally edges.unpersist()
   }
 
   /** Driver-local union-find + canonical pick over a small edge set. */

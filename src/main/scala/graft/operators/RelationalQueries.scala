@@ -150,9 +150,9 @@ object RelationalQueries {
 
   /** Entity-link scoring: top-1 Jaro-Winkler match per probe string
     * against a broadcast catalogue (get_best_matches,
-    * entityMatching.py:59-78). Names share no prefix across tables so
-    * the unconditional-boost vs 0.7-threshold Winkler variants agree
-    * (prefix 0) and DuckDB can act as oracle. */
+    * entityMatching.py:59-78). StringSim.jaroWinkler implements the
+    * strcmp95 0.7-boost-threshold variant — the same as DuckDB's
+    * jaro_winkler_similarity — so the oracle compares exactly. */
   def q15JaroLink(spark: SparkSession, dir: String): DataFrame = {
     val jw = udf((a: String, b: String) => StringSim.jaroWinkler(a, b))
     val s = t(spark, dir, "supplier").select("s_name")
@@ -195,11 +195,12 @@ object RelationalQueries {
     t(spark, dir, "events")
       .withColumn("prev_ts", lag(col("ts"), 1).over(w))
       .withColumn("new_sess",
-        // fractional-second epochs (DuckDB epoch() parity; unix_timestamp
-        // truncates). ts is TIMESTAMP_NTZ → LTZ (session tz UTC) → double.
+        // integer-microsecond epochs on BOTH sides (Spark unix_micros /
+        // DuckDB epoch_us) — no floating point, so a gap of exactly
+        // 600.3s can never disagree on `> 600` between engines.
         when(col("prev_ts").isNull ||
-          col("ts").cast("timestamp_ltz").cast("double") -
-            col("prev_ts").cast("timestamp_ltz").cast("double") > 600, 1).otherwise(0))
+          unix_micros(col("ts").cast("timestamp_ltz")) -
+            unix_micros(col("prev_ts").cast("timestamp_ltz")) > 600000000L, 1).otherwise(0))
       .groupBy("user_id")
       .agg(sum("new_sess").as("sessions"), count(lit(1)).as("n_events"))
   }
@@ -382,7 +383,7 @@ object RelationalQueries {
         |ORDER BY sim DESC, e.vec_id LIMIT 5""".stripMargin,
     "q17_sessionize" ->
       """SELECT user_id,
-        | sum(CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > 600 THEN 1 ELSE 0 END) AS sessions,
+        | cast(sum(CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 600000000 THEN 1 ELSE 0 END) AS BIGINT) AS sessions,
         | count(*) AS n_events
         |FROM (SELECT user_id, event_id, ts,
         |       lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts

@@ -51,6 +51,17 @@ class ParsersSpec extends AnyFunSuite {
     assert(Parsers.parseTupleList("[('a', 'PER', 'x'), ('b', 'ORG')]") == List(("b", "ORG")))
   }
 
+  test("reversed delimiters degrade to empty, never throw (python slice parity)") {
+    // close delimiter BEFORE open delimiter — python's response[start:end+2]
+    // yields '' and the eval falls back to []/{}: real LLM output shape
+    assert(Parsers.parseTupleList("x)] y [('A','PER')") == Nil)
+    assert(Parsers.parseStringList("x] then ['a', 'b'") == List())
+    assert(Parsers.parseTagJson("} then {'Bob': 'P'") == Nil)
+    assert(Parsers.parseFilingJson("} oops {'ORG': ['Acme']") == Nil)
+    assert(Parsers.parseConfidenceJson("} bad {'Bob': 'high'", List(("Bob", "PER"))) ==
+      List(("Bob", "PER", None)))
+  }
+
   // ---- wrapper parser (pt_wrapper.py:33-41) ----
   test("parseWrapped maps long tags to abbreviations") {
     val resp = "<person>Alice Johnson</person> went to <location>Paris</location> <ORG>Acme</ORG>"

@@ -16,11 +16,32 @@ class StringSimSpec extends AnyFunSuite {
     assert(jaro("a", "") == 0.0)
   }
 
-  test("jaroWinkler known vectors (standard 0.1 prefix scale)") {
+  test("jaroWinkler known vectors (strcmp95 0.7 boost threshold)") {
     assert(approx(jaroWinkler("MARTHA", "MARHTA"), 0.961111))
     assert(approx(jaroWinkler("DIXON", "DICKSONX"), 0.813333))
     assert(approx(jaroWinkler("DWAYNE", "DUANE"), 0.84))
     assert(jaroWinkler("same", "same") == 1.0)
+  }
+
+  test("jaroWinkler matches DuckDB jaro_winkler_similarity (strcmp95) exactly") {
+    // fixture values produced by duckdb jaro_winkler_similarity — the
+    // same strcmp95 lineage as the reference's `jaro` pip package
+    val fixtures = Seq(
+      ("MARTHA", "MARHTA", 0.9611111111111111),
+      ("DIXON", "DICKSONX", 0.8133333333333332),
+      ("JELLYFISH", "SMELLYFISH", 0.8962962962962964),
+      ("Alice Johnson", "Alice J. Johnson", 0.9625),
+      ("Acme Industries", "Acme Industries", 1.0),
+      ("abcd", "abce", 0.8833333333333334),
+      ("Deltaware", "Deltawre", 0.9777777777777777),
+      ("Alice", "Alicia", 0.8933333333333334),
+      // below-threshold pairs with shared prefixes: NO boost applied
+      ("ab", "ac", 0.6666666666666666),
+      ("xy", "xz", 0.6666666666666666),
+      ("prefix low", "prefix completely different suffix xyz", 0.6752436647173489))
+    fixtures.foreach { case (a, b, expected) =>
+      assert(approx(jaroWinkler(a, b), expected, 1e-12), s"jw($a, $b)")
+    }
   }
 
   test("levenshtein and python-Levenshtein ratio") {
