@@ -114,14 +114,15 @@ object SparkEntry {
         .toDF("media_id", "modality", "n_bytes", "width", "height", "duration_ms", "content_sha")
     }),
     "fewshots_sentence_knn" -> ((s, dir) => {
-      import s.implicits._
+      import org.apache.spark.sql.functions.col
+      // distributed form: bounded query set broadcast against the pool
+      // SCAN — no driver collect of the pool (DuckDB-oracled)
       val e = s.read.parquet(s"$dir/embeddings.parquet")
-      val train = e.select("vec_id", "embedding").as[(Long, Seq[Float])]
-        .collect().map { case (id, v) => (id, v.toArray) } // bounded few-shot pool
-      val queries = e.filter(org.apache.spark.sql.functions.col("vec_id") < 20)
-        .select("vec_id", "embedding").as[(Long, Seq[Float])]
-        .map { case (id, v) => (id, v.toArray) }
-      kg.FewShots.sentenceKnn(queries, train, k = 3).toDF()
+      val q = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("embedding").cast("array<double>").as("qvec"))
+      val pool = e.filter(col("vec_id") >= 20)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("evec"))
+      kg.FewShots.sentenceKnnJoin(q, pool, k = 3)
     }),
     "ann_lsh_topk" -> ((s, dir) => {
       import s.implicits._
@@ -136,5 +137,14 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops (the
     * kg_* pipeline queries → rows-only checks). */
-  def oracleSql: Map[String, String] = graft.operators.RelationalQueries.oracle
+  def oracleSql: Map[String, String] = graft.operators.RelationalQueries.oracle ++ Map(
+    "fewshots_sentence_knn" ->
+      """SELECT query_id, vec_id, sim, rank FROM (
+        | SELECT q.vec_id AS query_id, e.vec_id,
+        |  round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 4) AS sim,
+        |  row_number() OVER (PARTITION BY q.vec_id
+        |    ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 4) DESC, e.vec_id) AS rank
+        | FROM embeddings e, embeddings q
+        | WHERE q.vec_id < 20 AND e.vec_id >= 20)
+        |WHERE rank <= 3""".stripMargin)
 }

@@ -74,6 +74,30 @@ object FewShots {
       .as[Shot]
   }
 
+  /** Fully distributed sentence-kNN as a pure DataFrame plan: the
+    * bounded query set rides a broadcast nested-loop join against the
+    * pool SCAN (never a driver collect of the pool — the pool can be
+    * arbitrarily large), cosine via codegen'd higher-order array
+    * functions, top-k per query via a ranking window. Similarity is
+    * rounded BEFORE ranking so the (sim DESC, vec_id ASC) order is
+    * reproducible across engines — this query has a DuckDB oracle
+    * twin in SparkEntry.
+    *
+    * queries: (query_id long, qvec array<double>) — the broadcast side;
+    * pool:    (vec_id long, evec array<double>) — the scan side.
+    */
+  def sentenceKnnJoin(queries: DataFrame, pool: DataFrame, k: Int): DataFrame = {
+    val dot = expr("aggregate(zip_with(evec, qvec, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
+    val na = expr("aggregate(evec, 0D, (acc, v) -> acc + v * v)")
+    val nb = expr("aggregate(qvec, 0D, (acc, v) -> acc + v * v)")
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id"))
+    pool.join(broadcast(queries))
+      .withColumn("sim", round(dot / sqrt(na * nb), 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id", "sim", "rank")
+  }
+
   /** The memo effect of few_shots_save: score each distinct query
     * text once, join results back to all occurrences. */
   def withMemo[T](queries: DataFrame, textCol: String)(score: DataFrame => DataFrame): DataFrame = {

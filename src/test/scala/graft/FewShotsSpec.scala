@@ -24,6 +24,27 @@ class FewShotsSpec extends AnyFunSuite {
     }
   }
 
+  test("sentenceKnnJoin (distributed DataFrame form) ≡ typed sentenceKnn") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val train = (0 until 60).map(i => (i.toLong, vec())).toArray
+    val queries = (100 until 106).map(i => (i.toLong, vec()))
+    val poolDf = train.toSeq.toDF("vec_id", "evec")
+      .select(col("vec_id"), col("evec").cast("array<double>").as("evec"))
+    val qDf = queries.toDF("query_id", "qvec")
+      .select(col("query_id"), col("qvec").cast("array<double>").as("qvec"))
+    val joined = FewShots.sentenceKnnJoin(qDf, poolDf, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+      .groupBy(_._1).map { case (q, xs) => q -> xs.sortBy(_._3).map(_._2).toSeq }
+    val typed = FewShots.sentenceKnn(queries.toDS(), train, k = 3)
+      .collect().groupBy(_.query_id)
+      .map { case (q, shots) => q -> shots.sortBy(_.rank).map(_.train_id).toSeq }
+    // identical neighbor ids per query (4-decimal rounding cannot flip
+    // an order on gaussian vectors at these magnitudes — and if it ever
+    // tie-broke, both engines break ties the same way)
+    assert(joined == typed)
+  }
+
   test("entityKnn merges per-token hits, dedups by train idx (py:110-124)") {
     import spark.implicits._
     val trainTokens = (0 until 40).map(i => ((i / 4).toLong, vec())).toArray // 10 rows × 4 tokens
