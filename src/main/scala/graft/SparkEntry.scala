@@ -65,6 +65,20 @@ object SparkEntry {
     }),
     "kg_links" -> ((s, dir) => kgQuery(s, dir)(_.links.toDF())),
 
+    "experiment_grid" -> ((s, dir) => {
+      // classical_test grid (llm/LLMModel.py:144-203): seeded runs ×
+      // (technique, few-shot arm) → leaderboard with t-CIs. Arms kept
+      // to a representative subset so the query stays bounded.
+      val cfg = cfgFor(dir)
+      val arms = Seq(
+        Experiments.Arm(PromptTechniques.Discussion, Extraction.FstNone, 0),
+        Experiments.Arm(PromptTechniques.Discussion, Extraction.FstSentence, 3),
+        Experiments.Arm(PromptTechniques.Discussion, Extraction.FstRandom, 3),
+        Experiments.Arm(PromptTechniques.Filing, Extraction.FstNone, 0),
+        Experiments.Arm(PromptTechniques.Filing, Extraction.FstSentence, 3))
+      Experiments.leaderboard(Experiments.classicalTest(s, cfg, arms, nbRuns = 3))
+    }),
+
     // ---- training-data pipeline ops (rows-only; accuracy specs in tests) ----
     "dedup_minhash_clusters" -> ((s, dir) =>
       operators.Dedup.minhashClusters(

@@ -120,6 +120,29 @@ object TextAnalytics {
     if (s.length < k) { if (s.isEmpty) Nil else List(s) }
     else (0 to s.length - k).map(i => s.substring(i, i + k)).toList
 
+  /** Deterministic char-trigram feature-hash embedding (L2-normalized)
+    * — the engine's content-pure stand-in for the reference's
+    * sentence-transformer embeddings (MyDataset.py:112-114). Pure
+    * function of the text, so few-shot retrieval over it is
+    * bit-reproducible at any parallelism. */
+  def embedText(text: String, dim: Int = 32): Array[Float] = {
+    val v = new Array[Float](dim)
+    charNgrams(text.toLowerCase, 3).foreach { g =>
+      val h = Hashing.hash64(g)
+      val sign = if ((h & 1L) == 0L) 1f else -1f
+      v(Hashing.bucket(h >>> 1, dim)) += sign
+    }
+    var norm = 0.0
+    var i = 0
+    while (i < dim) { norm += v(i) * v(i); i += 1 }
+    if (norm > 0) {
+      val inv = (1.0 / math.sqrt(norm)).toFloat
+      i = 0
+      while (i < dim) { v(i) *= inv; i += 1 }
+    }
+    v
+  }
+
   /** Exact Jaccard over shingle sets. */
   def jaccard(a: Set[String], b: Set[String]): Double = {
     if (a.isEmpty && b.isEmpty) return 1.0

@@ -11,7 +11,9 @@ import org.apache.spark.sql.functions._
 object Experiments {
 
   /** One experiment run's score row (what a ResultInstance pickle
-    * holds after re-scoring, ResultInstance.py:32-61). */
+    * holds after re-scoring, ResultInstance.py:32-61). `fst` is the
+    * few-shot technique arm (sentence / random / no-shots —
+    * few_shots_techniques.py). */
   final case class RunScore(
       model: String,
       technique: String,
@@ -20,7 +22,8 @@ object Experiments {
       f1: Double,
       precision: Double,
       recall: Double,
-      elapsed_sec: Double)
+      elapsed_sec: Double,
+      fst: String = "sentence")
 
   /** Leaderboard with Student-t 95% CIs per config, sorted by mean F1
     * descending (ResultInstance.py:75-87,145 + ner/utils.py:92-118).
@@ -29,14 +32,72 @@ object Experiments {
   def leaderboard(runs: Dataset[RunScore]): DataFrame = {
     val spark = runs.sparkSession
     import spark.implicits._
-    runs.groupByKey(r => (r.model, r.technique, r.nb_few_shots))
-      .mapGroups { (key: (String, String, Int), it: Iterator[RunScore]) =>
+    runs.groupByKey(r => (r.model, r.technique, r.fst, r.nb_few_shots))
+      .mapGroups { (key: (String, String, String, Int), it: Iterator[RunScore]) =>
         val f1s = it.map(_.f1).toSeq
         val (mean, lo, hi) = Metrics.tConfidenceInterval(f1s)
-        (key._1, key._2, key._3, f1s.length, mean, lo, hi)
+        (key._1, key._2, key._3, key._4, f1s.length, mean, lo, hi)
       }
-      .toDF("model", "technique", "nb_few_shots", "n_runs", "f1_mean", "ci_low", "ci_high")
+      .toDF("model", "technique", "fst", "nb_few_shots", "n_runs", "f1_mean", "ci_low", "ci_high")
       .orderBy(col("f1_mean").desc)
+  }
+
+  /** The reference's fixed run seeds (llm/LLMModel.py:174). */
+  val RunSeeds: Seq[Long] = Seq(42L, 45L, 46L, 43L, 42L, 41L)
+
+  /** Deterministic seeded split (train_test_split,
+    * Conll2003Dataset.py:54-56, seeds llm/LLMModel.py:174):
+    * `pmod(xxhash64(key, seed), 100) < testPct` sends a row to test.
+    * Content-pure, so the SAME rows land in the same side at any
+    * parallelism, and disjointness/coverage are structural. Returns
+    * (train, test). */
+  def seededSplit[T](ds: Dataset[T], keyCol: String, testPct: Int, seed: Long): (Dataset[T], Dataset[T]) = {
+    val bucket = pmod(xxhash64(col(keyCol), lit(seed)), lit(100))
+    (ds.filter(bucket >= testPct), ds.filter(bucket < testPct))
+  }
+
+  /** One arm of the classical_test grid (llm/LLMModel.py:144-203):
+    * prompt technique × few-shot technique × shot count. */
+  final case class Arm(technique: PromptTechniques.Technique, fst: String, nbFewShots: Int)
+
+  /** The classical_test experiment harness (llm/LLMModel.py:144-203):
+    * for each grid arm and each of `nbRuns` seeded runs — split the
+    * corpus into train/test by conversation (seed from RunSeeds),
+    * freeze a bounded few-shot pool from the TRAIN gold, build
+    * few-shot prompts for the TEST turns, detect mentions under the
+    * arm's prompt technique, align against gold and score weighted
+    * P/R/F1 (process_results.py:95-116) → one RunScore per run.
+    * The config grid is a tiny driver-side loop (exactly the
+    * reference's triple-nested loop); every run's heavy work is a
+    * distributed plan. Feed the result to [[leaderboard]]. */
+  def classicalTest(spark: SparkSession, cfg: TranscriptGen.Config,
+                    arms: Seq[Arm], nbRuns: Int = 3, testPct: Int = 20,
+                    poolSize: Int = 240): Dataset[RunScore] = {
+    import spark.implicits._
+    val turns = TranscriptGen.transcripts(spark, cfg).cache()
+    val gold = TranscriptGen.goldMentions(spark, cfg).cache()
+    try {
+      val scores = (0 until nbRuns).flatMap { run =>
+        val seed = RunSeeds(run % RunSeeds.length)
+        val (trainT, testT) = seededSplit(turns, "conv_id", testPct, seed)
+        val (trainG, testG) = seededSplit(gold, "conv_id", testPct, seed)
+        val pool = FewShots.buildPool(trainT, trainG, poolSize)
+        val testGoldCached = testG.cache()
+        val armScores = arms.map { arm =>
+          val t0 = System.nanoTime()
+          val prompts = Extraction.buildPromptsWithShots(
+            testT, if (arm.nbFewShots > 0) pool else Array.empty, arm.nbFewShots, arm.fst)
+          val mentions = PromptTechniques.detectMentions(prompts, arm.technique, cfg)
+          val prf = Metrics.weightedPRF(Metrics.align(mentions, testGoldCached))
+          RunScore("deterministic-scorer", arm.technique.name, arm.nbFewShots, run,
+            prf.f1, prf.precision, prf.recall, (System.nanoTime() - t0) / 1e9,
+            if (arm.nbFewShots > 0) arm.fst else Extraction.FstNone)
+        }
+        testGoldCached.unpersist()
+        armScores
+      }
+      spark.createDataset(scores)
+    } finally { turns.unpersist(); gold.unpersist() }
   }
 
   /** Run the pipeline collecting per-stage row counts + wall times

@@ -18,14 +18,65 @@ object Extraction {
     * via the returned datasets, not silently lost. Also applies the
     * brace filter the reference bakes into dataset cleaning
     * (Conll2003Dataset.py:62-63) and drops empty texts. */
-  def buildPrompts(turns: Dataset[Turn]): Dataset[Prompt] = {
-    import turns.sparkSession.implicits._
+  def buildPrompts(turns: Dataset[Turn]): Dataset[Prompt] =
+    buildPromptsWithShots(turns, Array.empty, 0)
+
+  /** Few-shot technique names (few_shots_techniques.py): sentence-kNN
+    * (FST_Sentence :67-88), random control (FST_Random :55-58),
+    * no-shots (FST_NoShots :44-47 — the k=0 / empty-pool case). */
+  val FstSentence = "sentence"
+  val FstRandom = "random"
+  val FstNone = "no-shots"
+
+  /** Prompt building with an optional few-shot block
+    * (pt_abstract.get_few_shots, pt_abstract.py:75-89): per turn, k
+    * examples retrieved from the broadcast pool — sentence-kNN by
+    * embedding cosine (few_shots_techniques.py:71-81) or the random
+    * control arm (:55-58, seeded by content hash, never rand()) —
+    * rendered as EXAMPLE lines ahead of the input sentinel. Retrieval
+    * is a narrow mapPartitions pass over the broadcast pool: no
+    * shuffle, no driver loop, O(|pool|) per turn with a bounded pool.
+    * Keeps the reference's drop semantics: brace filter, empty-text
+    * drop, oversized-prompt drop (pt_abstract.py:54-60) — the length
+    * guard runs AFTER the shot block is attached, exactly like the
+    * reference counts the full assembled prompt. */
+  def buildPromptsWithShots(turns: Dataset[Turn], pool: Array[FewShots.ShotExample],
+                            k: Int, fst: String = FstSentence): Dataset[Prompt] = {
+    val spark = turns.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(pool)
     turns
       .filter(t => t.text.nonEmpty && !t.text.contains("{"))
-      .map { t =>
-        val prompt = s"### SYSTEM : The task is to extract named entities in a sentence.\n" +
-          s"### USER : <start_input> ${t.text} <end_input>\n### ASSISTANT : <start_output> ["
-        Prompt(t.conv_id, t.turn_idx, t.text, prompt, TextAnalytics.tokenCountWs(prompt))
+      .mapPartitions { it =>
+        val shots = bc.value
+        it.map { t =>
+          val block =
+            if (k <= 0 || shots.isEmpty) ""
+            else {
+              val chosen: Seq[FewShots.ShotExample] = fst match {
+                case FstRandom =>
+                  // seeded draws, deduped by index, first k
+                  val idxs = Iterator.from(0)
+                    .map(i => graft.functions.Hashing.bucket(
+                      graft.functions.Hashing.hash64(s"${t.conv_id}#${t.turn_idx}#rnd$i"), shots.length))
+                    .take(4 * k + 8).toSeq.distinct.take(k)
+                  idxs.map(shots(_))
+                case _ => // sentence-kNN, ties by pool index (stable argsort)
+                  val qv = TextAnalytics.embedText(t.text)
+                  shots.zipWithIndex
+                    .map { case (ex, i) => (graft.functions.StringSim.cosine(qv, ex.vec), i) }
+                    .sortBy { case (s, i) => (-s, i) }
+                    .take(k).map { case (_, i) => shots(i) }.toSeq
+              }
+              "### ASSISTANT : Can you provide me examples ?\n" +
+                "### USER : There are examples :\n" +
+                chosen.map(ex => s"${Scorer.ExampleMarker}${ex.text} -> ${ex.output}").mkString("\n") + "\n"
+            }
+          val prompt = s"### SYSTEM : The task is to extract named entities in a sentence.\n" +
+            block +
+            s"### USER : <start_input> ${t.text} <end_input>\n### ASSISTANT : <start_output> ["
+          Prompt(t.conv_id, t.turn_idx, t.text, prompt, TextAnalytics.tokenCountWs(prompt))
+        }
       }
       .filter(_.prompt_tokens <= TranscriptGen.MaxPromptTokens)
   }
@@ -39,7 +90,8 @@ object Extraction {
       val matcher = Scorer.newMatcher() // per-partition "model load"
       it.map { p =>
         Scored(p.conv_id, p.turn_idx, p.text,
-          Scorer.mentionResponse(matcher, p.conv_id, p.turn_idx, p.text, cfg))
+          Scorer.mentionResponse(matcher, p.conv_id, p.turn_idx, p.text, cfg,
+            Scorer.exampleBlockOf(p.prompt)))
       }
     }
   }
@@ -95,7 +147,8 @@ object Extraction {
       val m = Scorer.newMatcher()
       it.map { p =>
         val parsed = PromptTechniques.parse(tech,
-          PromptTechniques.respond(tech, m, p.conv_id, p.turn_idx, p.text, cfg))
+          PromptTechniques.respond(tech, m, p.conv_id, p.turn_idx, p.text, cfg,
+            Scorer.exampleBlockOf(p.prompt)))
         extractTurn(Scored(p.conv_id, p.turn_idx, p.text, ""), parsed, cfg)
       }
     }

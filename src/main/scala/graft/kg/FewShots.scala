@@ -26,6 +26,44 @@ object FewShots {
 
   final case class Shot(query_id: Long, train_id: Long, sim: Double, rank: Int)
 
+  /** One few-shot example: a train-split sentence with its gold span
+    * list rendered in the discussion wire format — what the
+    * reference's few_shot_prompt block carries (pt_abstract.py:75-89,
+    * few_shots_techniques.py:67-88). `vec` is the deterministic
+    * content embedding used for sentence-kNN retrieval. */
+  final case class ShotExample(text: String, output: String, vec: Array[Float])
+
+  /** Bounded few-shot pool from the train split: turns with ≥1 gold
+    * mention, brace-filtered exactly like the reference's few-shot
+    * block (pt_abstract.py:84), deterministically sampled by content
+    * hash (never rand()) down to `poolSize`, collected + broadcast by
+    * the caller. The bound is the design, not a shortcut: the
+    * reference's few-shot index is likewise a frozen, small artifact
+    * relative to the corpus being tagged — at 100 TB the pool stays
+    * `poolSize` rows while the scan side grows. */
+  def buildPool(train: Dataset[Turn], gold: Dataset[Mention], poolSize: Int = 240): Array[ShotExample] = {
+    val spark = train.sparkSession
+    import spark.implicits._
+    val outputs = gold.groupByKey(m => (m.conv_id, m.turn_idx))
+      .mapGroups { (key: (String, Int), it: Iterator[Mention]) =>
+        val spans = it.map(m => (m.mention, m.tag)).toList.sortBy(identity)
+        val body = spans.map { case (ne, tag) =>
+          s"('${ne.replace("'", "\\'")}', '$tag')"
+        }.mkString("[", ", ", "]")
+        (key._1, key._2, body)
+      }
+      .toDF("conv_id", "turn_idx", "output")
+    train.toDF().select(col("conv_id"), col("turn_idx"), col("text"))
+      .filter(length(col("text")) > 0 && !col("text").contains("{"))
+      .join(outputs, Seq("conv_id", "turn_idx"))
+      .orderBy(xxhash64(col("conv_id"), col("turn_idx")), col("conv_id"), col("turn_idx"))
+      .limit(poolSize)
+      .select("text", "output")
+      .collect()
+      .map(r => ShotExample(r.getString(0), r.getString(1),
+        graft.functions.TextAnalytics.embedText(r.getString(0))))
+  }
+
   /** Sentence-kNN: exact top-k cosine against the broadcast training
     * pool. Ties broken by ascending train_id (np.argsort is stable;
     * our tie-break is documented & deterministic). */

@@ -40,12 +40,16 @@ object KGPipeline {
     run(spark, TranscriptGen.transcripts(spark, cfg), cfg)
 
   def run(spark: SparkSession, turns: Dataset[Turn], cfg: TranscriptGen.Config,
-          technique: PromptTechniques.Technique = PromptTechniques.Discussion): Result = {
+          technique: PromptTechniques.Technique = PromptTechniques.Discussion,
+          fewShotPool: Array[FewShots.ShotExample] = Array.empty,
+          nbFewShots: Int = 0): Result = {
     import spark.implicits._
 
     // 1-2. order is carried by (conv_id, turn_idx) keys; prompts with
-    //      brace/empty/oversized drop semantics
-    val prompts = Extraction.buildPrompts(turns)
+    //      brace/empty/oversized drop semantics — optionally carrying
+    //      a sentence-kNN few-shot block (the reference's headline
+    //      quality lever, pt_abstract.py:75-89)
+    val prompts = Extraction.buildPromptsWithShots(turns, fewShotPool, nbFewShots)
 
     // 2-4. batched scorer, then the FUSED per-turn chain (parse →
     //      verify → relations) in one narrow pass — the reference's

@@ -44,14 +44,19 @@ object PromptTechniques {
   private def noisy(convId: String, turnIdx: Int, text: String, salt: Long, cfg: TranscriptGen.Config): Boolean =
     Hashing.bucket(Hashing.hash64(s"$convId#$turnIdx#$text", cfg.seed ^ salt), 1000) < cfg.scorerNoisePerMille
 
-  /** Deterministic scorer responses for a turn under a technique. */
+  /** Deterministic scorer responses for a turn under a technique.
+    * `examples` is the prompt's few-shot block (Scorer.exampleBlockOf);
+    * a demonstrated surface form repairs a would-be malformed
+    * generation (Scorer.demonstrated — the few-shot quality lever). */
   def respond(tech: Technique, m: Scorer.Matcher, convId: String, turnIdx: Int,
-              text: String, cfg: TranscriptGen.Config): Seq[(String, String)] = {
+              text: String, cfg: TranscriptGen.Config,
+              examples: String = ""): Seq[(String, String)] = {
     val mentions = m.findMentions(text)
-    val malformed = noisy(convId, turnIdx, text, 0x1001, cfg)
+    val malformed = noisy(convId, turnIdx, text, 0x1001, cfg) &&
+      !Scorer.demonstrated(mentions, examples)
     tech match {
       case Discussion =>
-        Seq(("None", Scorer.mentionResponse(m, convId, turnIdx, text, cfg)))
+        Seq(("None", Scorer.mentionResponse(m, convId, turnIdx, text, cfg, examples)))
       case Wrapper =>
         // replace each found surface with <TAG>surface</TAG> in order
         val marked = mentions.foldLeft(text) { case (acc, (ne, tag)) =>
@@ -116,7 +121,8 @@ object PromptTechniques {
     prompts.mapPartitions { it =>
       val m = Scorer.newMatcher()
       it.flatMap { p =>
-        val rs = respond(tech, m, p.conv_id, p.turn_idx, p.text, cfg)
+        val rs = respond(tech, m, p.conv_id, p.turn_idx, p.text, cfg,
+          Scorer.exampleBlockOf(p.prompt))
         parse(tech, rs).map { case (ne, tag) => Mention(p.conv_id, p.turn_idx, ne, tag) }
       }
     }

@@ -65,11 +65,37 @@ object Scorer {
   private def noisy(convId: String, turnIdx: Int, text: String, salt: Long, perMille: Int, seed: Long): Boolean =
     Hashing.bucket(Hashing.hash64(s"$convId#$turnIdx#$text", seed ^ salt), 1000) < perMille
 
+  /** Marker prefixing each few-shot example line inside a prompt
+    * (Extraction.buildPromptsWithShots). */
+  val ExampleMarker = "### EXAMPLE : "
+
+  /** The example block of a prompt: everything before the input
+    * sentinel, iff it carries example lines. Used by the scorer to
+    * decide whether a mention was demonstrated — the INPUT text itself
+    * must never count as its own demonstration. */
+  def exampleBlockOf(prompt: String): String = {
+    val cut = prompt.indexOf("<start_input>")
+    val head = if (cut < 0) "" else prompt.substring(0, cut)
+    if (head.contains(ExampleMarker)) head else ""
+  }
+
+  /** The deterministic stand-in's model-quality contract for few-shot
+    * prompts: a would-be malformed generation is repaired when the
+    * prompt's example block demonstrates one of the target surface
+    * forms. This re-expresses the reference's measured few-shot gain
+    * (+0.184 F1 from 0→3 sentence-kNN shots, results.ipynb cells 7/13;
+    * prompt block pt_abstract.py:75-89) as content-pure plumbing:
+    * no examples in the prompt → no gain. */
+  private[kg] def demonstrated(mentions: Seq[(String, String)], examples: String): Boolean =
+    examples.nonEmpty && mentions.exists { case (ne, _) => examples.contains(ne) }
+
   /** Mention-detection response in discussion tuple-list format. */
-  def mentionResponse(m: Matcher, convId: String, turnIdx: Int, text: String, cfg: TranscriptGen.Config): String = {
+  def mentionResponse(m: Matcher, convId: String, turnIdx: Int, text: String,
+                      cfg: TranscriptGen.Config, examples: String = ""): String = {
     val mentions = m.findMentions(text)
     val body = mentions.map { case (ne, tag) => s"(${pyStr(ne)}, ${pyStr(tag)})" }.mkString("[", ", ", "]")
-    if (noisy(convId, turnIdx, text, 0x1001, cfg.scorerNoisePerMille, cfg.seed)) {
+    if (noisy(convId, turnIdx, text, 0x1001, cfg.scorerNoisePerMille, cfg.seed) &&
+        !demonstrated(mentions, examples)) {
       // truncated mid-list: the discussion parser finds no closer → []
       val full = s"Sure, here are the entities: $body"
       full.substring(0, math.max(10, full.length / 2)).stripSuffix(")]")

@@ -17,9 +17,10 @@ class ExperimentsSpec extends AnyFunSuite {
     val lb = Experiments.leaderboard(runs).collect()
     assert(lb.head.getString(1) == "wrapper")
     val disc = lb.find(_.getString(1) == "discussion").get
-    assert(math.abs(disc.getDouble(4) - 0.6) < 1e-9)
-    assert(disc.getDouble(5) < 0.6 && disc.getDouble(6) > 0.6)
-    assert(disc.getInt(3) == 3)
+    assert(math.abs(disc.getDouble(5) - 0.6) < 1e-9)
+    assert(disc.getDouble(6) < 0.6 && disc.getDouble(7) > 0.6)
+    assert(disc.getInt(4) == 3)
+    assert(disc.getString(2) == "sentence") // default fst arm
   }
 
   test("runWithMetrics records per-stage lineage rows") {
