@@ -101,13 +101,25 @@ object SparkEntry {
       val extracted = Extraction.extractAll(Extraction.scoreMentions(prompts, cfg), cfg)
       Extraction.withConfidence(extracted, cfg).toDF()
     }),
+    "kg_mention_logits" -> ((s, dir) => {
+      // logit→softmax confidence suite + AUC label column
+      // (evaluating_confidence.py:56-160)
+      val cfg = cfgFor(dir)
+      val prompts = Extraction.buildPrompts(TranscriptGen.transcripts(s, cfg))
+      val extracted = Extraction.extractAll(Extraction.scoreMentions(prompts, cfg), cfg)
+      Extraction.withLogits(extracted, cfg).toDF()
+    }),
     "skew_salted_count" -> ((s, dir) => {
       val cfg = cfgFor(dir)
       operators.Skew.saltedCount(TranscriptGen.goldMentions(s, cfg).toDF(), "mention")
     }),
     "label_eval" -> ((s, dir) => {
+      // end-to-end through the NESTED label store: Mongo-shaped
+      // labels[].versions[] docs → explode flatten → evaluation
+      // (myMongoClient.py:123-142 → testingLLMperformance.py:50-84)
       val n = if (dir.contains("sf0.1")) 5000L else if (dir.contains("sf0.01")) 1000L else 200L
-      val lvs = operators.LabelEval.syntheticLabelVersions(s, n)
+      val lvs = operators.LabelEval.flattenLabelVersions(
+        operators.LabelEval.syntheticNestedDocs(s, n), "/storage/")
       val gold = lvs.toDF().select("doc_id").distinct()
         .withColumn("label_name", org.apache.spark.sql.functions.lit("gold-marker"))
         .withColumn("label_value", org.apache.spark.sql.functions.lit("x"))

@@ -208,6 +208,59 @@ object Extraction {
     }
   }
 
+  /** One mention with its per-tag logits and the reference's six
+    * confidence variants evaluated at the outputted tag
+    * (evaluating_confidence.py show_confidence points, :140-160):
+    * `correct` = (gold tag == outputted tag), the label ROC/AUC is
+    * computed over. `calibrated` is the logistic-calibration score
+    * over the logits (fixed broadcast weights). */
+  final case class MentionLogits(
+      conv_id: String,
+      turn_idx: Int,
+      mention: String,
+      gold_tag: String,
+      outputted_tag: String,
+      logits: Seq[Double],
+      conf_softmax: Double,
+      conf_softmax_min: Double,
+      conf_softmax_max: Double,
+      conf_proba_direct: Double,
+      conf_proba_centered: Double,
+      conf_transparent: Double,
+      calibrated: Double,
+      correct: Boolean)
+
+  /** Fixed logistic-calibration weights (per-tag logit weights + bias).
+    * Training happens offline in the reference's notebook; these are
+    * the deployed coefficients the scorer ships with. */
+  val CalibrationWeights: Array[Double] = Array(0.9, 0.9, 0.9)
+  val CalibrationBias: Double = -1.5
+
+  /** Logit-confidence stage (evaluating_confidence.py:56-77 +
+    * :98-160): per verified mention, per-tag logits from the scorer,
+    * the six confidence functions evaluated at the outputted tag, the
+    * calibrated score, and the correctness label. Narrow pass. */
+  def withLogits(extracted: Dataset[TurnExtraction],
+                 cfg: TranscriptGen.Config): Dataset[MentionLogits] = {
+    import extracted.sparkSession.implicits._
+    extracted.flatMap { e =>
+      e.verified.map { case (ne, tag) =>
+        val (out, logits) = Scorer.tagLogits(e.conv_id, e.turn_idx, ne, tag, cfg)
+        val oi = Scorer.TagVocab.indexOf(out)
+        def at(fn: Array[Double] => Array[Double]) = fn(logits)(oi)
+        MentionLogits(e.conv_id, e.turn_idx, ne, tag, out, logits.toSeq,
+          at(graft.functions.Confidence.softmax),
+          at(graft.functions.Confidence.softmaxMin),
+          at(graft.functions.Confidence.softmaxMax),
+          at(graft.functions.Confidence.probaDirect),
+          at(graft.functions.Confidence.probaCentered),
+          at(graft.functions.Confidence.transparent),
+          graft.functions.Confidence.logisticScore(logits, CalibrationWeights, CalibrationBias),
+          tag == out)
+      }
+    }
+  }
+
   /** Two-stage chain (pt_multi_pt.py:81-90 shape): stage-1 mentions
     * grouped back per turn feed the relation scorer; responses are
     * filing-format dicts parsed and split into (subj, pred, obj).

@@ -111,6 +111,31 @@ object Metrics {
     PRF(precision, recall, f1, nG)
   }
 
+  /** Distributed ROC AUC (evaluating_confidence.py:152-165, sklearn
+    * roc_curve+auc semantics with average-rank tie handling) via the
+    * rank-sum closed form:
+    *   AUC = Σ_g np_g·(cumNegBelow_g + nn_g/2) / (NP·NN)
+    * over per-score groups g ascending. The heavy pass is the
+    * distributed groupBy(score); the cumulative window runs over the
+    * GROUPED frame, whose size is |distinct scores| — callers round
+    * scores first (confidences to a few decimals), which bounds that
+    * frame regardless of corpus size. Returns a 1-row (auc) frame. */
+  def aucFrame(points: DataFrame, labelCol: String, scoreCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val g = points.groupBy(col(scoreCol).as("s"))
+      .agg(
+        sum(when(col(labelCol), 1L).otherwise(0L)).as("np"),
+        sum(when(col(labelCol), 0L).otherwise(1L)).as("nn"))
+    val w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    g.withColumn("cumneg", coalesce(sum("nn").over(w), lit(0L)))
+      .agg((sum(col("np") * (col("cumneg") + col("nn") / 2.0)) /
+        (sum("np") * sum("nn"))).as("auc"))
+  }
+
+  def aucRankSum(points: DataFrame, labelCol: String, scoreCol: String): Double =
+    aucFrame(points, labelCol, scoreCol).head().getDouble(0)
+
   /** Student-t 95% confidence interval over repeated-run scores
     * (ner/utils.py:92-118, consumed at ResultInstance.py:75-87).
     * Two-sided 0.975 quantiles for small df, hardcoded (the reference

@@ -153,6 +153,37 @@ object Scorer {
     entries.mkString("{", ", ", "} <end_output>")
   }
 
+  /** Candidate tag vocabulary for per-mention logits, fixed order. */
+  val TagVocab: Vector[String] = Extraction.MentionTags.toVector.sorted
+
+  /** Deterministic per-tag logits for one extracted mention — the
+    * engine's stand-in for llama.cpp's eval_logits
+    * (evaluating_confidence.py:59-60, get_logits_for_tags :56-77):
+    * one logit per TagVocab entry from content hash, the "generated"
+    * tag's logit boosted. A deterministic per-mille of mentions put
+    * the boost on a WRONG tag with a weaker margin — so the
+    * downstream confidence→ROC/AUC analysis has both classes and the
+    * confidence actually separates them (the property the reference
+    * studies). Returns (outputted_tag, logits). */
+  def tagLogits(convId: String, turnIdx: Int, mention: String, tag: String,
+                cfg: TranscriptGen.Config): (String, Array[Double]) = {
+    val base = Hashing.hash64(s"$convId#$turnIdx#$mention/$tag", cfg.seed ^ 0x5005)
+    val logits = Array.tabulate(TagVocab.length) { i =>
+      Hashing.toUnit(Hashing.hash64(base, 11L + i)) * 4 - 2 // stable noise in [-2, 2)
+    }
+    val wrong = Hashing.bucket(Hashing.mix64(base), 1000) < cfg.logitNoisePerMille
+    val ti = math.max(0, TagVocab.indexOf(tag))
+    val oi = if (wrong) (ti + 1 + Hashing.bucket(base, TagVocab.length - 1)) % TagVocab.length else ti
+    // the generated tag's logit sits `margin` above the runner-up —
+    // weaker margins on wrong picks is what makes softmax confidence
+    // SEPARATE correct from wrong (the reference's ROC finding)
+    val margin =
+      if (wrong) 0.2 + Hashing.toUnit(Hashing.hash64(base, 7L)) * 1.5
+      else 1.5 + Hashing.toUnit(Hashing.hash64(base, 7L)) * 2.0
+    logits(oi) = logits.max + margin
+    (TagVocab(oi), logits)
+  }
+
   /** Verifier response: yes unless content-hash noise says no. */
   def verifierResponse(convId: String, turnIdx: Int, mention: String, tag: String, text: String,
                        cfg: TranscriptGen.Config): String = {

@@ -27,7 +27,8 @@ object TranscriptGen {
       hotPct: Int = 25,          // % of person picks that hit the hot entity
       variantPct: Int = 10,      // % of person mentions using a surface variant
       scorerNoisePerMille: Int = 15, // turns whose scorer response is malformed
-      verifierNoisePerMille: Int = 3)
+      verifierNoisePerMille: Int = 3,
+      logitNoisePerMille: Int = 150) // mentions whose tag logits favor a wrong tag
 
   /** Maximum prompt size the scorer accepts (whitespace tokens);
     * mirrors the reference's 4096-token context minus max_tokens

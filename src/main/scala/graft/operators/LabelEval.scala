@@ -154,6 +154,66 @@ object LabelEval {
     }
   }
 
+  // ------------------------------------------------------------------
+  // Nested document/label store (the Mongo `documents` collection
+  // shape, myMongoClient.py:32-104): labels[].versions[] arrays with
+  // file metadata — and its flattening to LabelVersion rows
+  // (get_labels_versions, :123-142).
+  // ------------------------------------------------------------------
+
+  /** One stored label version; modelName is null for user-entered
+    * versions (the reference maps null → 'user', :140). */
+  final case class NestedVersion(value: String, confidence: Double,
+                                 modelName: String, createdOn: java.sql.Timestamp)
+  final case class NestedLabel(name: String, value: String, versions: Seq[NestedVersion])
+  final case class NestedFile(fileName: String, fullPath: String)
+  final case class NestedDoc(_id: String, files: Seq[NestedFile], labels: Seq[NestedLabel])
+
+  /** Deterministic nested document store carrying EXACTLY the rows of
+    * [[syntheticLabelVersions]] re-rolled into the Mongo shape (user
+    * rows as modelName=null versions), split across two storage path
+    * prefixes so the path filter is exercised. */
+  def syntheticNestedDocs(spark: org.apache.spark.sql.SparkSession, nDocs: Long): Dataset[NestedDoc] = {
+    import spark.implicits._
+    val flat = syntheticLabelVersions(spark, nDocs)
+    flat.groupByKey(_.doc_id)
+      .mapGroups { (docId: String, it: Iterator[LabelVersion]) =>
+        val byLabel = it.toSeq.groupBy(_.label_name).toSeq.sortBy(_._1)
+        val labels = byLabel.map { case (name, vs) =>
+          val versions = vs.sortBy(v => (v.created_on.getTime, v.model)).map { v =>
+            NestedVersion(v.label_value, v.confidence,
+              if (v.model == "user") null else v.model, v.created_on)
+          }
+          NestedLabel(name, versions.last.value, versions)
+        }
+        val shard = if (graft.functions.Hashing.bucket(
+          graft.functions.Hashing.hash64(docId), 10) < 8) "inbox" else "archive"
+        NestedDoc(docId,
+          Seq(NestedFile(s"$docId.pdf", s"/storage/$shard/$docId.pdf")), labels)
+      }
+  }
+
+  /** get_labels_versions (myMongoClient.py:123-142): keep docs with a
+    * file under the storage path prefix, explode labels[].versions[]
+    * to flat LabelVersion rows, null modelName → 'user'. Pure
+    * DataFrame explodes — the row-by-row Python loop becomes two
+    * generators the optimizer can pipeline. */
+  def flattenLabelVersions(docs: Dataset[NestedDoc], pathStorage: String): Dataset[LabelVersion] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.toDF()
+      .filter(exists(col("files"), f => f.getField("fullPath").startsWith(pathStorage)))
+      .select(col("_id").as("doc_id"), explode(col("labels")).as("label"))
+      .select(col("doc_id"), col("label.name").as("label_name"),
+        explode(col("label.versions")).as("v"))
+      .select(col("doc_id"), col("label_name"),
+        col("v.value").as("label_value"),
+        col("v.confidence").as("confidence"),
+        coalesce(col("v.modelName"), lit("user")).as("model"),
+        col("v.createdOn").as("created_on"))
+      .as[LabelVersion]
+  }
+
   /** Full pipeline (get_LLM_performance, testingLLMperformance.py:50-84). */
   def evaluate(lv: Dataset[LabelVersion], gold: DataFrame): (Scores, DataFrame) = {
     val filtered = maxConfPerGroup(filterModels(lv)).toDF()

@@ -268,7 +268,36 @@ object RelationalQueries {
           .as("norm"))
   }
 
+  /** Distributed ROC AUC via the rank-sum closed form
+    * (evaluating_confidence.py:152-165; Metrics.aucFrame): label =
+    * purchase events, score = value rounded to 3 decimals (the
+    * rounding bounds the per-score grouped frame at any corpus
+    * size). */
+  def q24Auc(spark: SparkSession, dir: String): DataFrame = {
+    val pts = t(spark, dir, "events")
+      .select((col("event_type") === "purchase").as("label"),
+        round(col("value"), 3).as("score"))
+    graft.kg.Metrics.aucFrame(pts, "label", "score")
+      .select(round(col("auc"), 6).as("auc"))
+  }
+
+  /** Nested build → explode flatten round-trip (the Mongo label-store
+    * shape, myMongoClient.py:123-142): rows are rolled up into an
+    * array<struct> column, then UNNESTed back and re-aggregated —
+    * exercising ArrayType(StructType) construction, explode, and
+    * struct field access with a DuckDB list/UNNEST twin. */
+  def q25NestedFlatten(spark: SparkSession, dir: String): DataFrame = {
+    val nested = t(spark, dir, "events")
+      .groupBy("user_id")
+      .agg(collect_list(struct(col("event_type"), col("value"))).as("evs"))
+    nested.select(col("user_id"), explode(col("evs")).as("ev"))
+      .groupBy(col("user_id"), col("ev.event_type").as("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum("ev.value"), 2).as("total"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q24_auc" -> q24Auc,
+    "q25_nested_flatten" -> q25NestedFlatten,
     "q21_intersect" -> q21Intersect,
     "q22_topk_global" -> q22TopkGlobal,
     "q23_minmax_norm" -> q23MinMaxNorm,
@@ -297,6 +326,27 @@ object RelationalQueries {
   /** DuckDB oracle SQL — same table names, same output column names,
     * same rounding. */
   val oracle: Map[String, String] = Map(
+    "q24_auc" ->
+      """WITH g AS (
+        |  SELECT round(value, 3) AS s,
+        |         count(*) FILTER (WHERE event_type = 'purchase') AS np,
+        |         count(*) FILTER (WHERE event_type <> 'purchase') AS nn
+        |  FROM events GROUP BY 1),
+        |c AS (
+        |  SELECT np, nn,
+        |    coalesce(sum(nn) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumneg
+        |  FROM g)
+        |SELECT round(sum(np * (cumneg + nn / 2.0)) /
+        |             ((SELECT sum(np) FROM g) * (SELECT sum(nn) FROM g)), 6) AS auc
+        |FROM c""".stripMargin,
+    "q25_nested_flatten" ->
+      """WITH nested AS (
+        |  SELECT user_id, list({'event_type': event_type, 'value': value}) AS evs
+        |  FROM events GROUP BY user_id),
+        |flat AS (SELECT user_id, unnest(evs) AS ev FROM nested)
+        |SELECT user_id, ev.event_type AS event_type, count(*) AS cnt,
+        |       round(sum(ev.value), 2) AS total
+        |FROM flat GROUP BY 1, 2""".stripMargin,
     "q21_intersect" ->
       """SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
         |INTERSECT

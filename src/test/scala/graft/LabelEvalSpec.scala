@@ -104,4 +104,33 @@ class LabelEvalSpec extends AnyFunSuite {
     assert(out("relevant date") == "2024-01-15")
     assert(out("amount") == "2024-01-15 10:30:00")
   }
+
+  test("nested label store flattens to exactly the flat LabelVersion rows") {
+    val n = 150L
+    val nested = LabelEval.syntheticNestedDocs(spark, n)
+    val flat = LabelEval.flattenLabelVersions(nested, "/storage/")
+    def key(v: graft.kg.LabelVersion) =
+      (v.doc_id, v.label_name, v.label_value, v.confidence, v.model, v.created_on.getTime)
+    val got = flat.collect().map(key).toSet
+    val expected = LabelEval.syntheticLabelVersions(spark, n).collect().map(key).toSet
+    assert(got == expected) // round-trip: roll-up → explode loses nothing
+    // user rows come from null modelName versions
+    assert(flat.collect().count(_.model == "user") ==
+      expected.count(_._5 == "user"))
+    // path-prefix filter (get_labels_versions pathStorage check,
+    // myMongoClient.py:128-134): a narrower prefix keeps a strict subset
+    val inboxOnly = LabelEval.flattenLabelVersions(nested, "/storage/inbox/")
+    val inboxDocs = inboxOnly.collect().map(_.doc_id).toSet
+    assert(inboxDocs.nonEmpty && inboxDocs.size < n)
+    assert(LabelEval.flattenLabelVersions(nested, "/nowhere/").count() == 0)
+    // the flattened rows feed the existing evaluation unchanged
+    val gold = inboxOnly.toDF().select("doc_id").distinct()
+      .withColumn("label_name", org.apache.spark.sql.functions.lit("gold-marker"))
+      .withColumn("label_value", org.apache.spark.sql.functions.lit("x"))
+      .withColumn("confidence", org.apache.spark.sql.functions.lit(1.0))
+      .withColumn("model", org.apache.spark.sql.functions.lit("user"))
+      .withColumn("created_on", org.apache.spark.sql.functions.lit(new java.sql.Timestamp(0L)))
+    val (scores, scoreDf) = LabelEval.evaluate(inboxOnly, gold)
+    assert(scoreDf.count() > 0 && scores.nFields > 0)
+  }
 }
