@@ -72,9 +72,11 @@ object KGPipeline {
     val relations = extracted.flatMap(e =>
       e.relations.map { case (s, p, o) => Relation(e.conv_id, e.turn_idx, s, p, o) })
 
-    // 5. entity linking against the broadcast catalogue
+    // 5. entity linking — path auto-selected by catalogue size:
+    //    broadcast full-scan below EntityLinking.BroadcastCatalogueThreshold,
+    //    blocking-key equi-join candidates above it
     val catalogue = Lexicon.catalogue.toArray
-    val links = EntityLinking.link(verified, catalogue).cache()
+    val links = EntityLinking.linkAdaptive(verified, catalogue).cache()
 
     // 6. canonicalization (CC over accepted links + catalogue aliases)
     val canon = Canonicalize.canonicalMap(links, TranscriptGen.entities(spark))

@@ -42,9 +42,22 @@ object Dedup {
       }
   }
 
+  /** A band bucket larger than this is dropped from candidate
+    * generation (with a logged count — never silently): an N-member
+    * bucket yields N²/2 pairs, and duplicate-heavy web corpora
+    * routinely put 100k near-identical docs in one bucket. Exact
+    * copies must be collapsed FIRST ([[collapseExact]] /
+    * [[minhashNearDupsScaled]]) so the cap only ever trims
+    * pathological residue, not recall. */
+  val MaxBandBucket: Long = 256L
+
   /** Candidate pairs sharing ≥1 LSH band. Join is equi on (band, key);
-    * pair orientation a<b + distinct dedups multi-band hits. */
-  def minhashCandidates(sketches: Dataset[DocSketch]): Dataset[CandidatePair] = {
+    * pair orientation a<b + distinct dedups multi-band hits. Buckets
+    * over `maxBucket` members are dropped and LOGGED (the "no silent
+    * caps" rule): the stats pass runs on the per-bucket aggregate
+    * (one row per bucket), not the raw band rows. */
+  def minhashCandidates(sketches: Dataset[DocSketch],
+                        maxBucket: Long = MaxBandBucket): Dataset[CandidatePair] = {
     val spark = sketches.sparkSession
     import spark.implicits._
     val bands = sketches.flatMap { s =>
@@ -52,8 +65,29 @@ object Dedup {
         case (k, b) => BandKey(b, k, s.doc_id)
       }
     }
-    val l = bands.toDF("band", "key", "a")
-    val r = bands.toDF("band", "key", "b")
+    cappedPairJoin(bands.toDF("band", "key", "id"), maxBucket)
+  }
+
+  /** Shared capped self-join over (band, key, id) bucket rows: drops
+    * + logs oversized buckets, then emits distinct a<b pairs. The
+    * bucket-size stats run on the per-bucket AGGREGATE (one row per
+    * bucket), never on raw pairs. */
+  private def cappedPairJoin(bands: DataFrame, maxBucket: Long): Dataset[CandidatePair] = {
+    val spark = bands.sparkSession
+    import spark.implicits._
+    val sizes = bands.groupBy(col("band"), col("key"))
+      .agg(count(lit(1)).as("sz"))
+    val over = sizes.filter(col("sz") > maxBucket)
+      .agg(count(lit(1)).as("nBuckets"), coalesce(sum("sz"), lit(0L)).as("nRows"))
+      .head()
+    if (over.getLong(0) > 0)
+      System.err.println(s"[graft.Dedup] dropped ${over.getLong(0)} band buckets " +
+        s"(> $maxBucket members, ${over.getLong(1)} rows) from candidate generation — " +
+        "collapse exact duplicates first (minhashNearDupsScaled) to keep recall")
+    val kept = sizes.filter(col("sz") <= maxBucket).select("band", "key")
+    val keptBands = bands.join(kept, Seq("band", "key"))
+    val l = keptBands.select(col("band"), col("key"), col("id").as("a"))
+    val r = keptBands.select(col("band"), col("key"), col("id").as("b"))
     l.join(r, Seq("band", "key"))
       .filter(col("a") < col("b"))
       .select("a", "b").distinct()
@@ -83,8 +117,10 @@ object Dedup {
 
   /** SimHash near-dups: 4×16-bit band buckets (any hamming-≤3 pair
     * shares at least one intact band by pigeonhole), verified by
-    * exact hamming distance. */
-  def simhashNearDups(sketches: Dataset[DocSketch], maxHamming: Int = 3): Dataset[ScoredPair] = {
+    * exact hamming distance. Hot buckets capped + logged like the
+    * minhash path. */
+  def simhashNearDups(sketches: Dataset[DocSketch], maxHamming: Int = 3,
+                      maxBucket: Long = MaxBandBucket): Dataset[ScoredPair] = {
     val spark = sketches.sparkSession
     import spark.implicits._
     require(maxHamming <= 3, "4-band pigeonhole covers hamming ≤ 3")
@@ -94,11 +130,7 @@ object Dedup {
       }
     }
     val sigs = sketches.select(col("doc_id"), col("simhash"))
-    val l = bands.toDF("band", "key", "a")
-    val r = bands.toDF("band", "key", "b")
-    l.join(r, Seq("band", "key"))
-      .filter(col("a") < col("b"))
-      .select("a", "b").distinct()
+    cappedPairJoin(bands.toDF("band", "key", "id"), maxBucket).toDF()
       .join(sigs.withColumnRenamed("doc_id", "a").withColumnRenamed("simhash", "sa"), "a")
       .join(sigs.withColumnRenamed("doc_id", "b").withColumnRenamed("simhash", "sb"), "b")
       .as[(Long, Long, Long, Long)]
@@ -168,13 +200,9 @@ object Dedup {
       val b = bucketOf(v)
       // multi-probe: own bucket + all 1-bit neighbors
       (Seq(b) ++ (0 until planes).map(i => b ^ (1 << i))).map(k => (k, id))
-    }.toDF("bkt", "id")
+    }.toDF("key", "id").withColumn("band", lit(0))
 
-    val l = buckets.withColumnRenamed("id", "a")
-    val r = buckets.withColumnRenamed("id", "b")
-    l.join(r, "bkt")
-      .filter(col("a") < col("b"))
-      .select("a", "b").distinct()
+    cappedPairJoin(buckets.select("band", "key", "id"), MaxBandBucket).toDF()
       .join(vecs.toDF("a", "va"), "a")
       .join(vecs.toDF("b", "vb"), "b")
       .as[(Long, Long, Array[Float], Array[Float])]
@@ -182,6 +210,59 @@ object Dedup {
         ScoredPair(a, b, graft.functions.StringSim.cosine(va, vb))
       }
       .filter(_.score >= threshold)
+  }
+
+  /** Exact-duplicate pre-collapse by content hash (the q13 groupBy as
+    * an operator): returns
+    *  - `reps`: one representative row (min doc_id) per distinct text;
+    *  - `groups`: (doc_id, rep_id, group_size) membership map.
+    * Run this BEFORE any banding on duplicate-heavy corpora: a
+    * 100k-copy cluster collapses to ONE representative, so band
+    * buckets never see the N²/2 exact-dup pair explosion. */
+  def collapseExact(docs: DataFrame, idCol: String, textCol: String): (DataFrame, DataFrame) = {
+    val byHash = docs
+      .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .withColumn("h", xxhash64(col("text")))
+    val groups0 = byHash
+      .groupBy("h")
+      .agg(min("id").as("rep_id"), count(lit(1)).as("group_size"))
+    val groups = byHash.select(col("id").as("doc_id"), col("h"))
+      .join(groups0, "h")
+      .select("doc_id", "rep_id", "group_size")
+    val reps = byHash.join(groups0, "h")
+      .filter(col("id") === col("rep_id"))
+      .select(col("id").as(idCol), col("text").as(textCol))
+    (reps, groups)
+  }
+
+  /** Scale path for near-dup detection on duplicate-heavy corpora:
+    * collapse exact duplicates first, band + verify ONLY the
+    * representatives (with the hot-bucket cap as a logged backstop for
+    * residual pathological buckets), and return the near-dup pairs
+    * between representatives together with the exact-group membership
+    * map. Pair expansion to all group members is deliberately NOT
+    * materialized — it is quadratic by construction; consumers join
+    * through `groups` (rep-level pairs + membership carry the same
+    * information in O(N) rows). */
+  def minhashNearDupsScaled(docs: DataFrame, idCol: String, textCol: String,
+                            threshold: Double, maxBucket: Long = MaxBandBucket)
+      : (Dataset[ScoredPair], DataFrame) = {
+    val (reps, groups) = collapseExact(docs, idCol, textCol)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val texts = reps.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+    val cands = minhashCandidates(sketch(reps, idCol, textCol), maxBucket).toDF()
+    val pairs = cands
+      .join(texts.withColumnRenamed("id", "a").withColumnRenamed("text", "ta"), "a")
+      .join(texts.withColumnRenamed("id", "b").withColumnRenamed("text", "tb"), "b")
+      .as[(Long, Long, String, String)]
+      .map { case (b, a, ta, tb) =>
+        ScoredPair(a, b, TextAnalytics.jaccard(
+          TextAnalytics.shingles(ta, ShingleK).toSet,
+          TextAnalytics.shingles(tb, ShingleK).toSet))
+      }
+      .filter(_.score >= threshold)
+    (pairs, groups)
   }
 
   /** Per-doc candidate-cluster id: min doc_id over docs sharing any

@@ -24,6 +24,40 @@ class BlockedLinkingSpec extends AnyFunSuite {
     assert(recall >= 0.95, s"recall $recall")
   }
 
+  test("linkAdaptive: small catalogue ≡ broadcast link; blocked path recalls ≥0.95 on ×100 catalogue") {
+    import spark.implicits._
+    val cfg = TranscriptGen.Config(nConvs = 50)
+    val r = KGPipeline.run(spark, cfg)
+    val verified = r.verified.cache()
+    verified.count()
+    r.unpersistAll()
+
+    // small catalogue: adaptive == the broadcast reference path, exactly
+    val small = EntityLinking.linkAdaptive(verified, TranscriptGen.entities(spark))
+      .collect().map(l => (l.mention, l.entity_id, l.accepted)).toSet
+    val direct = EntityLinking.link(verified, Lexicon.catalogue.toArray)
+      .collect().map(l => (l.mention, l.entity_id, l.accepted)).toSet
+    assert(small == direct)
+
+    // ×100 catalogue (13k entities): decoys that never outscore the
+    // fixture entities; the blocked path must recall the exact top-1
+    val decoys = (0 until Lexicon.catalogue.length * 99).map { i =>
+      Entity(f"D$i%06d", s"Qz${i % 977}xx Wk${i % 499}yy", "Personne")
+    }
+    val big = Lexicon.catalogue ++ decoys
+    val bigDs = spark.createDataset(big)
+    val exact = EntityLinking.link(verified, big.toArray)
+      .filter(_.accepted).collect().map(l => l.mention -> l.entity_id).toMap
+    val blocked = EntityLinking.linkAdaptive(verified, bigDs, forceBlocked = true)
+      .filter(_.accepted).collect().map(l => l.mention -> l.entity_id).toMap
+    assert(exact.nonEmpty)
+    val hits = exact.count { case (m, e) => blocked.get(m).contains(e) }
+    val recall = hits.toDouble / exact.size
+    info(s"blocked accepted-link recall = $recall over ${exact.size} mentions, |catalogue|=${big.length}")
+    assert(recall >= 0.95, s"recall $recall")
+    verified.unpersist()
+  }
+
   test("pipeline runs end-to-end under a non-default technique") {
     val cfg = TranscriptGen.Config(nConvs = 40)
     val disc = KGPipeline.run(spark, TranscriptGen.transcripts(spark, cfg), cfg)

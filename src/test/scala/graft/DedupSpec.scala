@@ -106,6 +106,48 @@ class DedupSpec extends AnyFunSuite {
     assert(found.forall(_.score >= 0.95)) // exact verification
   }
 
+  test("duplicate-heavy corpus: exact pre-collapse + capped buckets bound the pairs") {
+    import spark.implicits._
+    // a 3000-copy exact-dup cluster — the web-corpus case where naive
+    // banding would enqueue ~4.5M candidate pairs from ONE bucket
+    val clusterDoc = "massive duplicated boilerplate page about spark joins tables and queries"
+    val heavy = corpus ++ (0 until 3000).map(i => (10000L + i, clusterDoc))
+    val df = heavy.toDF("doc_id", "text")
+
+    val (pairs, groups) = Dedup.minhashNearDupsScaled(df, "doc_id", "text", 0.6)
+    val found = pairs.collect().map(p => (p.a, p.b)).toSet
+    assert(found.size < 1000, s"rep-level pairs must stay bounded, got ${found.size}")
+
+    // the exact-group map covers the whole cluster under one representative
+    val g = groups.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val cluster = g.filter(_._1 >= 10000L)
+    assert(cluster.length == 3000)
+    assert(cluster.forall(c => c._2 == 10000L && c._3 == 3000L))
+    // regular exact copies collapse onto their originals too
+    assert(g.filter(x => x._1 >= 1000L && x._1 < 2000L).forall(x => x._2 == x._1 - 1000L))
+
+    // recall on non-degenerate pairs UNCHANGED: the uncapped operator's
+    // pairs on the plain corpus, mapped through representatives, equal
+    // the scaled operator's rep-level pairs (identical texts share
+    // identical signatures → identical banding)
+    val repOf = g.map(x => x._1 -> x._2).toMap
+    val uncapped = Dedup.minhashNearDups(docsDF, "doc_id", "text", 0.6)
+      .collect().map(p => (p.a, p.b)).toSet
+    val mapped = uncapped.map { case (a, b) =>
+      val (ra, rb) = (repOf(a), repOf(b)); (math.min(ra, rb), math.max(ra, rb))
+    }.filter { case (a, b) => a != b }
+    assert(found == mapped,
+      s"extra=${(found -- mapped).take(3)} missing=${(mapped -- found).take(3)}")
+
+    // and the WHY: capping WITHOUT pre-collapse silently loses the
+    // cluster's exact-dup pairs (the hot bucket is dropped) — which is
+    // exactly what minhashNearDupsScaled prevents
+    val cappedRaw = Dedup.minhashCandidates(Dedup.sketch(df, "doc_id", "text"))
+      .collect().map(p => (p.a, p.b)).toSet
+    assert(!cappedRaw.contains((10000L, 10001L)))
+    assert(cappedRaw.size < 5000)
+  }
+
   test("minhash clusters assign one row per doc, copies share clusters") {
     val clusters = Dedup.minhashClusters(docsDF, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

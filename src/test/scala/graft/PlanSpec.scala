@@ -49,6 +49,16 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"))
   }
 
+  test("blocked linking candidates come from an equi-join on block keys") {
+    import spark.implicits._
+    val values = Lexicon.People.take(30).map(s => (s, 1L)).toDS()
+    val cands = EntityLinking.proposalsBlocked(values, TranscriptGen.entities(spark))
+    val p = plan(cands.toDF())
+    assert(!p.contains("CartesianProduct"), "blocked path must never cross-product")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "candidates must equi-join on bkey")
+    assert(p.contains("bkey"), "join key must be the block key")
+  }
+
   test("triple materialization: adaptive narrow path ≡ broadcast-join path") {
     val result = KGPipeline.run(spark, TranscriptGen.Config(nConvs = 20))
     // small canonical map → the pipeline takes the narrow path: no joins
