@@ -154,6 +154,15 @@ object Extraction {
     }
   }
 
+  /** Single-turn extraction for per-row contexts (streaming state
+    * functions): score → parse → verify → relations on one turn. */
+  def extractTurnRow(matcher: Scorer.Matcher, convId: String, turnIdx: Int,
+                     text: String, cfg: TranscriptGen.Config): TurnExtraction = {
+    val parsed = Parsers.parseTupleList(
+      Scorer.mentionResponse(matcher, convId, turnIdx, text, cfg), MentionTags)
+    extractTurn(Scored(convId, turnIdx, text, ""), parsed, cfg)
+  }
+
   private def extractTurn(s: Scored, parsed: List[(String, String)],
                           cfg: TranscriptGen.Config): TurnExtraction = {
     val verified = parsed.filter { case (ne, tag) =>

@@ -64,6 +64,30 @@ object Ann {
       .as[Neighbor]
   }
 
+  /** Deterministic hyperplane matrix (planes × dim), hoisted OUT of
+    * the per-row loop: round-1 profiling showed the per-(plane, dim)
+    * hash64 recomputation dominating the ann_lsh_topk scan (~10× the
+    * necessary per-row work). Built once driver-side (or once per
+    * partition) and reused for every vector. */
+  private[operators] def planeMatrix(planes: Int, dim: Int, seed: Long): Array[Array[Double]] =
+    Array.tabulate(planes)(p => Array.tabulate(dim)(j =>
+      Hashing.toUnit(Hashing.hash64(p.toLong * 131071L + j, seed)) * 2 - 1))
+
+  private[operators] def bucketOf(v: Array[Float], mat: Array[Array[Double]]): Int = {
+    var bits = 0
+    var p = 0
+    while (p < mat.length) {
+      val row = mat(p)
+      var dot = 0.0
+      var j = 0
+      val n = math.min(v.length, row.length)
+      while (j < n) { dot += v(j) * row(j); j += 1 }
+      if (dot >= 0) bits |= (1 << p)
+      p += 1
+    }
+    bits
+  }
+
   /** LSH-bucketed ANN: hyperplane signature buckets + multi-probe,
     * exact cosine rescoring only inside probed buckets, then top-k. */
   def lshTopK(embeddings: DataFrame, idCol: String, vecCol: String,
@@ -72,38 +96,30 @@ object Ann {
     val spark = embeddings.sparkSession
     import spark.implicits._
 
-    def bucketOf(v: Array[Float]): Int = {
-      var bits = 0
-      var p = 0
-      while (p < planes) {
-        var dot = 0.0
-        var j = 0
-        while (j < v.length) {
-          dot += v(j) * (Hashing.toUnit(Hashing.hash64(p.toLong * 131071L + j, seed)) * 2 - 1)
-          j += 1
-        }
-        if (dot >= 0) bits |= (1 << p)
-        p += 1
-      }
-      bits
-    }
+    val dim = if (queries.nonEmpty) queries(0)._2.length else 0
+    val mat = planeMatrix(planes, dim, seed)
 
     // query → probed buckets (own + 1-bit flips, capped at `probes`)
     val queryBuckets: Map[Int, Array[(Long, Array[Float])]] = queries
       .flatMap { case (qid, qv) =>
-        val b = bucketOf(qv)
+        val b = bucketOf(qv, mat)
         (Seq(b) ++ (0 until planes).map(i => b ^ (1 << i))).take(probes).map(bb => (bb, (qid, qv)))
       }
       .groupBy(_._1).map { case (b, xs) => b -> xs.map(_._2) }
     val bc = spark.sparkContext.broadcast(queryBuckets)
+    val bcMat = spark.sparkContext.broadcast(mat)
 
     val partial = embeddings
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
       .as[(Long, Seq[Float])]
-      .flatMap { case (id, v) =>
-        val arr = toArr(v)
-        bc.value.getOrElse(bucketOf(arr), Array.empty[(Long, Array[Float])]).collect {
-          case (qid, qv) if qid != id => Neighbor(qid, id, StringSim.cosine(arr, qv))
+      .mapPartitions { it =>
+        val m = bcMat.value
+        val qb = bc.value
+        it.flatMap { case (id, v) =>
+          val arr = toArr(v)
+          qb.getOrElse(bucketOf(arr, m), Array.empty[(Long, Array[Float])]).collect {
+            case (qid, qv) if qid != id => Neighbor(qid, id, StringSim.cosine(arr, qv))
+          }
         }
       }
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id"))

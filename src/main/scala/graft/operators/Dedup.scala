@@ -179,27 +179,16 @@ object Dedup {
       .map { case (id, v) => (id, v.toArray) }
       .toDF("id", "vec").as[(Long, Array[Float])].cache()
 
-    def bucketOf(v: Array[Float]): Int = {
-      var bits = 0
-      var p = 0
-      while (p < planes) {
-        var dot = 0.0
-        var j = 0
-        while (j < v.length) {
-          // deterministic pseudo-gaussian plane component
-          dot += v(j) * (Hashing.toUnit(Hashing.hash64(p.toLong * 131071L + j, seed)) * 2 - 1)
-          j += 1
-        }
-        if (dot >= 0) bits |= (1 << p)
-        p += 1
+    // hyperplane matrix built once per PARTITION (dim is only known
+    // from the data), not per row — same hoist as Ann.lshTopK
+    val buckets = vecs.mapPartitions { it =>
+      var mat: Array[Array[Double]] = null
+      it.flatMap { case (id, v) =>
+        if (mat == null) mat = Ann.planeMatrix(planes, v.length, seed)
+        val b = Ann.bucketOf(v, mat)
+        // multi-probe: own bucket + all 1-bit neighbors
+        (Seq(b) ++ (0 until planes).map(i => b ^ (1 << i))).map(k => (k, id))
       }
-      bits
-    }
-
-    val buckets = vecs.flatMap { case (id, v) =>
-      val b = bucketOf(v)
-      // multi-probe: own bucket + all 1-bit neighbors
-      (Seq(b) ++ (0 until planes).map(i => b ^ (1 << i))).map(k => (k, id))
     }.toDF("key", "id").withColumn("band", lit(0))
 
     cappedPairJoin(buckets.select("band", "key", "id"), MaxBandBucket).toDF()

@@ -103,7 +103,10 @@ object LabelEval {
   /** get_score_for_asked_fields (testingLLMperformance.py:104-112):
     * drop never-compared docs, drop non-(client|document type) fields
     * of docs whose 'document type' answer was wrong, then field mean
-    * and doc-level mean of per-doc means. */
+    * and doc-level mean of per-doc means. Field mean, doc mean and
+    * row count all come out of ONE two-level aggregation job (round-1
+    * bench showed action count, not shuffle volume, dominating
+    * label_eval's wall). */
   def scores(scoreDf: DataFrame, noCompareDocs: DataFrame): Scores = {
     val docWrongType = scoreDf
       .filter(col("label_name") === "document type" && col("output") === 0)
@@ -115,14 +118,16 @@ object LabelEval {
       .filter(col("wrong_doc").isNull ||
         col("label_name").isin("client", "document type"))
       .drop("wrong_doc")
-      .cache()
-    val n = s2.count()
-    if (n == 0) { s2.unpersist(); return Scores(0.0, 0.0, 0L) }
-    val byFields = s2.agg(avg("output")).head().getDouble(0)
-    val byDocs = s2.groupBy("doc_id").agg(avg("output").as("m"))
-      .agg(avg("m")).head().getDouble(0)
-    s2.unpersist()
-    Scores(byFields, byDocs, n)
+    val row = s2.groupBy("doc_id")
+      .agg(sum("output").cast("double").as("s"), count(lit(1)).as("c"))
+      .agg(
+        coalesce(sum("s"), lit(0.0)).as("sumOutput"),
+        coalesce(sum("c"), lit(0L)).as("n"),
+        avg(col("s") / col("c")).as("byDocs"))
+      .head()
+    val n = row.getLong(1)
+    if (n == 0) Scores(0.0, 0.0, 0L)
+    else Scores(row.getDouble(0) / n, row.getDouble(2), n)
   }
 
   /** Deterministic synthetic label_versions table (FIXTURES.md §6

@@ -55,6 +55,52 @@ object StreamingExtraction {
       }
   }
 
+  /** [[conversationState]] row with an expiry marker. */
+  final case class ConvStateX(conv_id: String, n_mentions: Long, max_turn: Int, expired: Boolean)
+
+  /** Per-conversation state with EVENT-TIME expiry — the state-hygiene
+    * form of [[conversationState]]: a conversation idle past
+    * `idleTimeoutMs` (no turn newer than watermark − timeout) emits a
+    * final `expired = true` row and its state is REMOVED, so streaming
+    * state cannot grow without bound. The watermark on `ts` gates both
+    * late data and expiry (GroupStateTimeout.EventTimeTimeout). */
+  def conversationStateExpiring(turns: Dataset[Turn], cfg: TranscriptGen.Config,
+                                watermark: String = "10 seconds",
+                                idleTimeoutMs: Long = 30L * 60 * 1000): Dataset[ConvStateX] = {
+    import turns.sparkSession.implicits._
+    turns
+      .filter(t => t.text.nonEmpty && !t.text.contains("{"))
+      .withWatermark("ts", watermark)
+      .groupByKey(_.conv_id)
+      .mapGroupsWithState[ConvStateX, ConvStateX](
+        org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout) {
+        (convId: String, rows: Iterator[Turn],
+         state: org.apache.spark.sql.streaming.GroupState[ConvStateX]) =>
+          if (state.hasTimedOut) {
+            val prev = state.get
+            state.remove() // hygiene: expired conversations leave NO state behind
+            prev.copy(expired = true)
+          } else {
+            val prev = state.getOption.getOrElse(ConvStateX(convId, 0L, -1, expired = false))
+            val matcher = graft.kg.Scorer.newMatcher()
+            val batch = rows.toSeq
+            val nNew = batch.map(t =>
+              graft.kg.Extraction.extractTurnRow(matcher, t.conv_id, t.turn_idx, t.text, cfg)
+                .verified.size.toLong).sum
+            val next = ConvStateX(convId, prev.n_mentions + nNew,
+              math.max(prev.max_turn, if (batch.isEmpty) -1 else batch.map(_.turn_idx).max),
+              expired = false)
+            state.update(next)
+            // expire once the watermark passes the last activity + idle
+            val lastActivity = math.max(
+              batch.map(_.ts.getTime).max,
+              state.getCurrentWatermarkMs())
+            state.setTimeoutTimestamp(lastActivity + idleTimeoutMs)
+            next
+          }
+      }
+  }
+
   /** Event-time windowed mention counts per tag with a watermark —
     * the aggregation shape a monitoring sink would run. Event time is
     * carried through the fused map (no stream-stream join needed). */

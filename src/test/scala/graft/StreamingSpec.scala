@@ -67,6 +67,53 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("event-time timeout expires idle conversation state and removes it") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def turnAt(conv: String, idx: Int, text: String, tsMs: Long) =
+      Turn(conv, idx, "user", text, null, new java.sql.Timestamp(tsMs))
+    val t0 = 1700000000000L
+    val hour = 3600L * 1000
+    val stream = MemoryStream[Turn]
+    val states = StreamingExtraction.conversationStateExpiring(
+      stream.toDS(), cfg, watermark = "0 seconds", idleTimeoutMs = 30 * 60 * 1000)
+    val q = states.writeStream
+      .format("memory").queryName("conv_state_x")
+      .outputMode("update")
+      .start()
+    // batch 1: conv A active at t0
+    stream.addData(Seq(
+      turnAt("conv-A", 0, "Alice Johnson joined Acme Industries as director .", t0),
+      turnAt("conv-A", 1, "Thanks for the update .", t0 + 60000)))
+    q.processAllAvailable()
+    // batch 2: conv B three hours later — watermark sails past A's
+    // idle timeout; A's expiry fires on the NEXT trigger
+    stream.addData(Seq(turnAt("conv-B", 0, "The weather in Paris is nice today .", t0 + 3 * hour)))
+    q.processAllAvailable()
+    // batch 3: more B activity triggers the timed-out A group
+    stream.addData(Seq(turnAt("conv-B", 1, "Thanks for the update .", t0 + 3 * hour + 60000)))
+    q.processAllAvailable()
+    val rows = spark.table("conv_state_x").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getBoolean(3)))
+    val aExpired = rows.filter(r => r._1 == "conv-A" && r._4)
+    assert(aExpired.nonEmpty, s"conv-A must expire; rows=${rows.mkString(", ")}")
+    assert(aExpired.head._2 >= 2, "expiry row carries the final cumulative count")
+    assert(!rows.exists(r => r._1 == "conv-B" && r._4), "active conv must not expire")
+
+    // state was REMOVED: re-activity on A starts a FRESH count
+    stream.addData(Seq(
+      turnAt("conv-A", 2, "Bruno Keller joined Deltaware as director .", t0 + 4 * hour)))
+    q.processAllAvailable()
+    q.stop()
+    val fresh = spark.table("conv_state_x").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getBoolean(3)))
+      .filter(r => r._1 == "conv-A" && !r._4 && r._3 == 2)
+    assert(fresh.nonEmpty)
+    val expiredCount = aExpired.head._2
+    assert(fresh.head._2 < expiredCount,
+      s"fresh state ${fresh.head._2} must not resume the expired count $expiredCount")
+  }
+
   test("windowed mention counts with watermark run on a stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
