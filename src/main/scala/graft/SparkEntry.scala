@@ -73,10 +73,8 @@ object SparkEntry {
       val arms = Seq(
         Experiments.Arm(PromptTechniques.Discussion, Extraction.FstNone, 0),
         Experiments.Arm(PromptTechniques.Discussion, Extraction.FstSentence, 3),
-        Experiments.Arm(PromptTechniques.Discussion, Extraction.FstRandom, 3),
-        Experiments.Arm(PromptTechniques.Filing, Extraction.FstNone, 0),
         Experiments.Arm(PromptTechniques.Filing, Extraction.FstSentence, 3))
-      Experiments.leaderboard(Experiments.classicalTest(s, cfg, arms, nbRuns = 3))
+      Experiments.leaderboard(Experiments.classicalTest(s, cfg, arms, nbRuns = 2))
     }),
 
     // ---- training-data pipeline ops (rows-only; accuracy specs in tests) ----
@@ -118,8 +116,11 @@ object SparkEntry {
       // labels[].versions[] docs → explode flatten → evaluation
       // (myMongoClient.py:123-142 → testingLLMperformance.py:50-84)
       val n = if (dir.contains("sf0.1")) 5000L else if (dir.contains("sf0.01")) 1000L else 200L
+      // localCheckpoint: the flatten is a SHUFFLE (nested roll-up) and
+      // evaluate fans out into ~6 branches — materialize it once
+      // instead of recomputing the shuffle per branch
       val lvs = operators.LabelEval.flattenLabelVersions(
-        operators.LabelEval.syntheticNestedDocs(s, n), "/storage/")
+        operators.LabelEval.syntheticNestedDocs(s, n), "/storage/").localCheckpoint()
       val gold = lvs.toDF().select("doc_id").distinct()
         .withColumn("label_name", org.apache.spark.sql.functions.lit("gold-marker"))
         .withColumn("label_value", org.apache.spark.sql.functions.lit("x"))

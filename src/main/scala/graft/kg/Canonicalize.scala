@@ -46,19 +46,15 @@ object Canonicalize {
     // iteration runs MANY tiny jobs, and per-partition overhead
     // dominates when the distinct-vertex graph is orders of magnitude
     // smaller than the corpus (typical: |distinct mentions| ≪ |turns|).
-    // Conf is restored after the loop (the loop is fully eager, so the
-    // narrowed width applies to exactly these jobs).
+    // The width is applied with explicit repartition() inside the loop
+    // — NOT by mutating the session-global shuffle-partitions conf,
+    // which would race against concurrent queries on the same session.
     val nEdges = sym.count()
     if (nEdges <= LocalEdgeThreshold && !forceDistributed)
       return connectedComponentsLocal(spark, sym)
-    val prevShufflePartitions = spark.conf.get("spark.sql.shuffle.partitions")
-    val loopPartitions = math.max(4L, math.min(prevShufflePartitions.toLong, nEdges / 100000L + 1))
-    spark.conf.set("spark.sql.shuffle.partitions", loopPartitions.toString)
-    try {
-      connectedComponentsLoop(sym, maxIter)
-    } finally {
-      spark.conf.set("spark.sql.shuffle.partitions", prevShufflePartitions)
-    }
+    val sessionWidth = spark.conf.get("spark.sql.shuffle.partitions").toLong
+    val loopPartitions = math.max(4L, math.min(sessionWidth, nEdges / 100000L + 1)).toInt
+    connectedComponentsLoop(sym.repartition(loopPartitions, col("src")), maxIter, loopPartitions)
   }
 
   /** Driver-local union-find over a collected small edge set; output
@@ -84,9 +80,11 @@ object Canonicalize {
     spark.createDataset(rows).toDF("vertex", "component")
   }
 
-  private def connectedComponentsLoop(sym: DataFrame, maxIter: Int): DataFrame = {
+  private def connectedComponentsLoop(sym: DataFrame, maxIter: Int,
+                                      width: Int): DataFrame = {
     var labels = sym.select(col("src").as("vertex")).distinct()
       .withColumn("label", col("vertex"))
+      .repartition(width, col("vertex"))
       .localCheckpoint()
 
     var changed = 1L
@@ -95,11 +93,14 @@ object Canonicalize {
     // O(graph diameter); leaving the loop with changed > 0 would
     // silently return WRONG component labels, so that case throws.
     while (changed > 0 && iter < maxIter) {
-      // candidate label for each vertex: min over neighbors' labels
+      // candidate label for each vertex: min over neighbors' labels.
+      // Explicit width on every shuffle keeps the loop's many tiny
+      // jobs narrow without touching session conf.
       val viaNeighbors = sym.join(labels, sym("src") === labels("vertex"))
         .select(sym("dst").as("vertex"), col("label"))
       val newLabels = labels.select(col("vertex"), col("label"))
         .union(viaNeighbors)
+        .repartition(width, col("vertex"))
         .groupBy("vertex")
         .agg(min("label").as("newLabel"))
       val joined = labels.join(newLabels, "vertex")

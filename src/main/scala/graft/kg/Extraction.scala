@@ -22,9 +22,11 @@ object Extraction {
     buildPromptsWithShots(turns, Array.empty, 0)
 
   /** Few-shot technique names (few_shots_techniques.py): sentence-kNN
-    * (FST_Sentence :67-88), random control (FST_Random :55-58),
-    * no-shots (FST_NoShots :44-47 — the k=0 / empty-pool case). */
+    * (FST_Sentence :67-88), entity/token-kNN (FST_Entity :102-124),
+    * random control (FST_Random :55-58), no-shots (FST_NoShots
+    * :44-47 — the k=0 / empty-pool case). */
   val FstSentence = "sentence"
+  val FstEntity = "entity"
   val FstRandom = "random"
   val FstNone = "no-shots"
 
@@ -61,6 +63,24 @@ object Extraction {
                       graft.functions.Hashing.hash64(s"${t.conv_id}#${t.turn_idx}#rnd$i"), shots.length))
                     .take(4 * k + 8).toSeq.distinct.take(k)
                   idxs.map(shots(_))
+                case FstEntity =>
+                  // per query token: top-k vs ALL pool entity embeddings;
+                  // merge by score desc, dedup pool row keeping best,
+                  // truncate to k (FST_Entity, few_shots_techniques
+                  // .py:110-124 — the idx-dedup-after-sort semantics)
+                  val qTokens = t.text.split("\\s+").filter(_.nonEmpty)
+                    .map(w => TextAnalytics.embedText(w))
+                  val flat = shots.iterator.zipWithIndex.flatMap { case (ex, i) =>
+                    ex.entityVecs.iterator.map(ev => (i, ev))
+                  }.toArray
+                  val merged = qTokens.iterator.flatMap { qv =>
+                    flat.map { case (i, ev) =>
+                      (graft.functions.StringSim.cosine(qv, ev), i)
+                    }.sortBy { case (s, i) => (-s, i) }.take(k)
+                  }.toArray.sortBy { case (s, i) => (-s, i) }
+                  val seen = scala.collection.mutable.LinkedHashSet.empty[Int]
+                  merged.foreach { case (_, i) => seen += i }
+                  seen.take(k).toSeq.map(shots(_))
                 case _ => // sentence-kNN, ties by pool index (stable argsort)
                   val qv = TextAnalytics.embedText(t.text)
                   shots.zipWithIndex

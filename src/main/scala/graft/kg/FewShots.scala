@@ -30,8 +30,11 @@ object FewShots {
     * list rendered in the discussion wire format — what the
     * reference's few_shot_prompt block carries (pt_abstract.py:75-89,
     * few_shots_techniques.py:67-88). `vec` is the deterministic
-    * content embedding used for sentence-kNN retrieval. */
-  final case class ShotExample(text: String, output: String, vec: Array[Float])
+    * content embedding used for sentence-kNN retrieval; `entityVecs`
+    * are the per-gold-mention embeddings the entity/token-kNN arm
+    * retrieves against (all_entity_embeddings, FST_Entity :102-124). */
+  final case class ShotExample(text: String, output: String, vec: Array[Float],
+                               entityVecs: Array[Array[Float]])
 
   /** Bounded few-shot pool from the train split: turns with ≥1 gold
     * mention, brace-filtered exactly like the reference's few-shot
@@ -50,18 +53,19 @@ object FewShots {
         val body = spans.map { case (ne, tag) =>
           s"('${ne.replace("'", "\\'")}', '$tag')"
         }.mkString("[", ", ", "]")
-        (key._1, key._2, body)
+        (key._1, key._2, body, spans.map(_._1))
       }
-      .toDF("conv_id", "turn_idx", "output")
+      .toDF("conv_id", "turn_idx", "output", "mentions")
     train.toDF().select(col("conv_id"), col("turn_idx"), col("text"))
       .filter(length(col("text")) > 0 && !col("text").contains("{"))
       .join(outputs, Seq("conv_id", "turn_idx"))
       .orderBy(xxhash64(col("conv_id"), col("turn_idx")), col("conv_id"), col("turn_idx"))
       .limit(poolSize)
-      .select("text", "output")
+      .select("text", "output", "mentions")
       .collect()
       .map(r => ShotExample(r.getString(0), r.getString(1),
-        graft.functions.TextAnalytics.embedText(r.getString(0))))
+        graft.functions.TextAnalytics.embedText(r.getString(0)),
+        r.getSeq[String](2).toArray.map(m => graft.functions.TextAnalytics.embedText(m))))
   }
 
   /** Sentence-kNN: exact top-k cosine against the broadcast training

@@ -295,9 +295,34 @@ object RelationalQueries {
       .agg(count(lit(1)).as("cnt"), round(sum("ev.value"), 2).as("total"))
   }
 
+  /** The check_label_value containment shape
+    * (testingLLMperformance.py:28-48, LabelEval.checkLabelValues) over
+    * a driver table: per group, does the "user" value (first 'view'
+    * row by event_id) appear among the "model" values (distinct
+    * 'purchase' values)? Missing user row → 0, like the reference. */
+  def q26LabelCheck(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events")
+    val groups = e.select("user_id").distinct()
+    val userRows = e.filter(col("event_type") === "view")
+      .groupBy("user_id")
+      .agg(min_by(col("value"), col("event_id")).as("user_value"))
+    val modelRows = e.filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(collect_set("value").as("model_values"))
+    groups
+      .join(userRows, Seq("user_id"), "left_outer")
+      .join(modelRows, Seq("user_id"), "left_outer")
+      .select(col("user_id"),
+        when(col("user_value").isNull, 0)
+          .when(array_contains(coalesce(col("model_values"),
+            array().cast("array<double>")), col("user_value")), 1)
+          .otherwise(0).as("output"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q24_auc" -> q24Auc,
     "q25_nested_flatten" -> q25NestedFlatten,
+    "q26_label_check" -> q26LabelCheck,
     "q21_intersect" -> q21Intersect,
     "q22_topk_global" -> q22TopkGlobal,
     "q23_minmax_norm" -> q23MinMaxNorm,
@@ -339,6 +364,16 @@ object RelationalQueries {
         |SELECT round(sum(np * (cumneg + nn / 2.0)) /
         |             ((SELECT sum(np) FROM g) * (SELECT sum(nn) FROM g)), 6) AS auc
         |FROM c""".stripMargin,
+    "q26_label_check" ->
+      """SELECT g.user_id,
+        | CASE WHEN u.user_value IS NULL THEN 0
+        |      WHEN m.vals IS NOT NULL AND list_contains(m.vals, u.user_value) THEN 1
+        |      ELSE 0 END AS output
+        |FROM (SELECT DISTINCT user_id FROM events) g
+        |LEFT JOIN (SELECT user_id, arg_min(value, event_id) AS user_value
+        |           FROM events WHERE event_type = 'view' GROUP BY 1) u USING (user_id)
+        |LEFT JOIN (SELECT user_id, list(DISTINCT value) AS vals
+        |           FROM events WHERE event_type = 'purchase' GROUP BY 1) m USING (user_id)""".stripMargin,
     "q25_nested_flatten" ->
       """WITH nested AS (
         |  SELECT user_id, list({'event_type': event_type, 'value': value}) AS evs

@@ -78,22 +78,26 @@ class FewShotGridSpec extends AnyFunSuite {
     val arms = Seq(
       Experiments.Arm(PromptTechniques.Discussion, Extraction.FstNone, 0),
       Experiments.Arm(PromptTechniques.Discussion, Extraction.FstRandom, 3),
+      Experiments.Arm(PromptTechniques.Discussion, Extraction.FstEntity, 3),
       Experiments.Arm(PromptTechniques.Discussion, Extraction.FstSentence, 3))
     val runs = Experiments.classicalTest(spark, cfg, arms, nbRuns = 3, testPct = 30,
       poolSize = 160).collect()
-    assert(runs.length == 9)
+    assert(runs.length == 12)
     def meanF1(fst: String) = {
       val xs = runs.filter(_.fst == fst).map(_.f1); xs.sum / xs.length
     }
-    val (zero, rand, knn) = (meanF1(Extraction.FstNone), meanF1(Extraction.FstRandom),
-      meanF1(Extraction.FstSentence))
-    info(f"mean F1 — zero-shot: $zero%.4f  random: $rand%.4f  sentence-kNN: $knn%.4f")
+    val (zero, rand, knn, ent) = (meanF1(Extraction.FstNone), meanF1(Extraction.FstRandom),
+      meanF1(Extraction.FstSentence), meanF1(Extraction.FstEntity))
+    info(f"mean F1 — zero-shot: $zero%.4f  random: $rand%.4f  sentence-kNN: $knn%.4f  entity-kNN: $ent%.4f")
     assert(knn > zero, f"kNN $knn%.4f must beat zero-shot $zero%.4f")
     assert(knn >= rand, f"kNN $knn%.4f must be ≥ random $rand%.4f")
-    // leaderboard consumes the grid output and ranks the kNN arm first
+    assert(ent > zero, f"entity-kNN $ent%.4f must beat zero-shot $zero%.4f")
+    // leaderboard consumes the grid output and ranks a kNN arm first
+    // (sentence or entity — the reference found either can win a grid)
     import spark.implicits._
     val lb = Experiments.leaderboard(spark.createDataset(runs.toSeq)).collect()
-    assert(lb.head.getString(2) == Extraction.FstSentence)
+    assert(Set(Extraction.FstSentence, Extraction.FstEntity).contains(lb.head.getString(2)))
+    assert(lb.last.getString(2) != Extraction.FstSentence, "zero/random arm must rank below kNN")
     assert(lb.map(_.getInt(4)).forall(_ == 3)) // 3 runs per arm
   }
 
