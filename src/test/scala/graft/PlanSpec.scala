@@ -74,6 +74,22 @@ class PlanSpec extends AnyFunSuite {
     result.unpersistAll()
   }
 
+  test("triple-table scan prunes partitions on a pred filter (north-rule layout)") {
+    import org.apache.spark.sql.functions.col
+    val result = KGPipeline.run(spark, TranscriptGen.Config(nConvs = 15))
+    val out = java.nio.file.Files.createTempDirectory("triples_prune").toString
+    graft.sources.TableIO.writeTriples(result.triples, out)
+    val df = graft.sources.TableIO.readTriples(spark, out)
+      .filter(col("pred") === "works_for").toDF()
+    val p = plan(df)
+    val pf = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("pred"), s"pred filter must prune partitions; got: $pf")
+    // and the pruned read returns exactly the works_for triples
+    assert(df.count() ==
+      result.triples.filter(_.pred == "works_for").count())
+    result.unpersistAll()
+  }
+
   test("whole-stage codegen covers the relational aggregates") {
     val p = plan(RelationalQueries.q01PricingAgg(spark, dir))
     // under AQE the codegen stage prints as a `*(n)` prefix
