@@ -40,11 +40,17 @@ object LabelEval {
   }
 
   /** format_date (testingLLMperformance.py:21-26): values of labels
-    * whose name contains 'date' normalized to yyyy-MM-dd. */
+    * whose name contains 'date' normalized to yyyy-MM-dd. Uses
+    * try_to_timestamp: a malformed date value degrades to null instead
+    * of killing the task under ANSI mode (pandas' to_datetime would
+    * raise there — but one bad row must never abort a 100-TB job; the
+    * row stays visible with a null value for the containment check).
+    * Round 1 only survived such rows because the downstream meta-label
+    * filter happened to be pushed below this projection. */
   def normalizeDates(lv: DataFrame): DataFrame =
     lv.withColumn("label_value",
       when(lower(col("label_name")).contains("date"),
-        date_format(to_timestamp(col("label_value")), "yyyy-MM-dd"))
+        date_format(try_to_timestamp(col("label_value")), "yyyy-MM-dd"))
         .otherwise(col("label_value")))
 
   /** Meta-label drop (testingLLMperformance.py:75). */
@@ -219,14 +225,18 @@ object LabelEval {
       .as[LabelVersion]
   }
 
-  /** Full pipeline (get_LLM_performance, testingLLMperformance.py:50-84). */
+  /** Full pipeline (get_LLM_performance, testingLLMperformance.py:50-84).
+    * `normalized` is materialized once (localCheckpoint): it feeds the
+    * anti-join diagnostics, the gold union and (through it) the three
+    * checkLabelValues branches — recomputing the max-conf WINDOW per
+    * branch dominated the label_eval wall before this. */
   def evaluate(lv: Dataset[LabelVersion], gold: DataFrame): (Scores, DataFrame) = {
     val filtered = maxConfPerGroup(filterModels(lv)).toDF()
-    val normalized = normalizeDates(filtered)
-    val noCompare = docsNotInBoth(normalized, gold).cache()
+    val normalized = normalizeDates(filtered).localCheckpoint()
+    val noCompare = docsNotInBoth(normalized, gold)
     val unioned = normalized.unionByName(gold, allowMissingColumns = true)
     val cleaned = dropMetaLabels(unioned)
-    val scoreDf = checkLabelValues(cleaned).cache()
+    val scoreDf = checkLabelValues(cleaned).localCheckpoint()
     (scores(scoreDf, noCompare), scoreDf)
   }
 }

@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import graft.kg.{Extraction, Mention, Turn, TranscriptGen}
+import graft.kg.{Extraction, LinkMatch, Mention, Turn, TranscriptGen}
 
 /** Structured Streaming lift of the extraction stage (SURVEY §2.10).
   * The per-turn chain is stateless once the scorer/few-shot index is
@@ -97,6 +97,50 @@ object StreamingExtraction {
               state.getCurrentWatermarkMs())
             state.setTimeoutTimestamp(lastActivity + idleTimeoutMs)
             next
+          }
+      }
+  }
+
+  /** One mention string's current canonical entity assignment. */
+  final case class LinkAssignment(mention: String, entity_id: String, confidence: Double)
+
+  /** Streaming incremental entity-link assignment via
+    * flatMapGroupsWithState — the construct a streaming
+    * canonicalization needs (SURVEY §2.10). Per mention string, state
+    * holds the best accepted link seen so far (highest confidence,
+    * ties → min entity id); a row is emitted ONLY when the assignment
+    * changes, so the output is a sameAs-delta stream a downstream
+    * catalogue can apply incrementally. Transitive closure stays a
+    * batch concern (Canonicalize.canonicalMap over the accumulated
+    * links) — the documented batch/stream boundary. */
+  def linkAssignmentStream(links: Dataset[LinkMatch]): Dataset[LinkAssignment] = {
+    import links.sparkSession.implicits._
+    links
+      .filter(_.accepted)
+      .groupByKey(_.mention)
+      .flatMapGroupsWithState[LinkAssignment, LinkAssignment](
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout()) {
+        (mention: String, rows: Iterator[LinkMatch],
+         state: org.apache.spark.sql.streaming.GroupState[LinkAssignment]) =>
+          val batchBest = rows.map(l => (l.confidence, l.entity_id))
+            .reduceOption { (a, b) =>
+              if (a._1 > b._1 || (a._1 == b._1 && a._2 <= b._2)) a else b
+            }
+          batchBest match {
+            case None => Iterator.empty
+            case Some((conf, eid)) =>
+              val better = state.getOption.forall(p =>
+                conf > p.confidence || (conf == p.confidence && eid < p.entity_id))
+              if (better && !state.getOption.exists(p => p.entity_id == eid)) {
+                val next = LinkAssignment(mention, eid, conf)
+                state.update(next)
+                Iterator.single(next)
+              } else if (better) {
+                // same entity, higher confidence: refresh state, no delta
+                state.update(LinkAssignment(mention, eid, conf))
+                Iterator.empty
+              } else Iterator.empty
           }
       }
   }

@@ -114,6 +114,40 @@ class StreamingSpec extends AnyFunSuite {
       s"fresh state ${fresh.head._2} must not resume the expired count $expiredCount")
   }
 
+  test("flatMapGroupsWithState emits link-assignment deltas only on change") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.kg.LinkMatch
+    val stream = MemoryStream[LinkMatch]
+    val q = StreamingExtraction.linkAssignmentStream(stream.toDS())
+      .writeStream.format("memory").queryName("link_deltas")
+      .outputMode("update").start()
+    // batch 1: Alice→P1 (0.7), Bob→P2 (0.9), plus a rejected link (ignored)
+    stream.addData(Seq(
+      LinkMatch("Alice", "P1", "Alice J", 0.9, 0.7, accepted = true),
+      LinkMatch("Bob", "P2", "Bob K", 0.95, 0.9, accepted = true),
+      LinkMatch("Eve", "P9", "Eve X", 0.2, 0.1, accepted = false)))
+    q.processAllAvailable()
+    val after1 = spark.table("link_deltas").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    assert(after1.toSet == Set(("Alice", "P1", 0.7), ("Bob", "P2", 0.9)))
+    // batch 2: better link for Alice → delta; weaker for Bob → silence;
+    // same-entity higher confidence for Alice afterwards → silence
+    stream.addData(Seq(
+      LinkMatch("Alice", "P0", "Alice Johnson", 0.99, 0.95, accepted = true),
+      LinkMatch("Bob", "P7", "Bobby", 0.5, 0.4, accepted = true)))
+    q.processAllAvailable()
+    stream.addData(Seq(
+      LinkMatch("Alice", "P0", "Alice Johnson", 0.99, 0.97, accepted = true)))
+    q.processAllAvailable()
+    q.stop()
+    val all = spark.table("link_deltas").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    assert(all.length == 3, s"exactly one extra delta expected, got ${all.mkString(", ")}")
+    assert(all.toSet.contains(("Alice", "P0", 0.95)))
+    assert(!all.exists(d => d._1 == "Bob" && d._2 == "P7"), "weaker link must not emit")
+  }
+
   test("windowed mention counts with watermark run on a stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
