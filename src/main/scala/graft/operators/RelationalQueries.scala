@@ -319,10 +319,17 @@ object RelationalQueries {
           .otherwise(0).as("output"))
   }
 
+  /** Salted two-phase aggregation (Skew.saltedCount — the north
+    * rule's hot-key treatment) oracled against a PLAIN group-count:
+    * the salting must be semantically invisible. */
+  def q27SaltedCount(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Skew.saltedCount(t(spark, dir, "events"), "user_id")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q24_auc" -> q24Auc,
     "q25_nested_flatten" -> q25NestedFlatten,
     "q26_label_check" -> q26LabelCheck,
+    "q27_salted_count" -> q27SaltedCount,
     "q21_intersect" -> q21Intersect,
     "q22_topk_global" -> q22TopkGlobal,
     "q23_minmax_norm" -> q23MinMaxNorm,
@@ -364,6 +371,8 @@ object RelationalQueries {
         |SELECT round(sum(np * (cumneg + nn / 2.0)) /
         |             ((SELECT sum(np) FROM g) * (SELECT sum(nn) FROM g)), 6) AS auc
         |FROM c""".stripMargin,
+    "q27_salted_count" ->
+      "SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id",
     "q26_label_check" ->
       """SELECT g.user_id,
         | CASE WHEN u.user_value IS NULL THEN 0

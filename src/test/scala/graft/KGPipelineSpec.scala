@@ -49,6 +49,24 @@ class KGPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("few-shot pool lifts the full pipeline's triple recall under scorer noise") {
+    // the end-to-end form of the grid result: same corpus, same gold,
+    // the ONLY difference is the few-shot block in the prompts
+    val noisy = TranscriptGen.Config(nConvs = 120, scorerNoisePerMille = 250)
+    val turns = TranscriptGen.transcripts(spark, noisy)
+    val gold = TranscriptGen.goldTriples(spark, noisy)
+    val pool = FewShots.buildPool(turns, TranscriptGen.goldMentions(spark, noisy), 160)
+    val zero = KGPipeline.run(spark, turns, noisy)
+    val shot = KGPipeline.run(spark, turns, noisy, fewShotPool = pool, nbFewShots = 3)
+    val prZero = Metrics.triplePR(zero.triples, gold)
+    val prShot = Metrics.triplePR(shot.triples, gold)
+    info(s"triple recall zero-shot=${prZero.recall} 3-shot=${prShot.recall}")
+    assert(prShot.recall > prZero.recall,
+      s"few-shot recall ${prShot.recall} must beat zero-shot ${prZero.recall}")
+    assert(prShot.precision >= prZero.precision - 1e-9)
+    zero.unpersistAll(); shot.unpersistAll()
+  }
+
   test("pipeline output is identical under different parallelism of the input") {
     import spark.implicits._
     val turns2 = TranscriptGen.transcripts(spark, cfg).repartition(2)
