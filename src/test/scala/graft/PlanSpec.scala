@@ -49,6 +49,19 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"))
   }
 
+  test("fewshots kNN join broadcasts the query side and pushes the pool filter") {
+    import org.apache.spark.sql.functions.col
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").cast("array<double>").as("qvec"))
+    val pool = e.filter(col("vec_id") >= 20)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("evec"))
+    val p = plan(FewShots.sentenceKnnJoin(q, pool, 3))
+    assert(p.contains("BroadcastNestedLoopJoin"), "bounded query set must broadcast")
+    assert(p.contains("PushedFilters"), "pool-side vec_id filter must reach the scan")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("blocked linking candidates come from an equi-join on block keys") {
     import spark.implicits._
     val values = Lexicon.People.take(30).map(s => (s, 1L)).toDS()
