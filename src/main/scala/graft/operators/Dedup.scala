@@ -167,11 +167,21 @@ object Dedup {
       .filter(_.score >= threshold)
   }
 
-  /** Embedding near-dups: random-hyperplane LSH (deterministic seeded
-    * planes), multi-probe (exact bucket + 1-bit flips) for recall,
-    * exact cosine verification ≥ τ. */
+  /** Embedding near-dups: MULTI-TABLE random-hyperplane LSH
+    * (deterministic seeded planes; `tables` independent plane sets of
+    * `planesPerTable` bits each), exact cosine verification ≥ τ.
+    *
+    * Each vector emits exactly `tables` bucket rows (its own bucket
+    * per table) — replacing round 1's both-sides 1-bit multi-probe,
+    * which emitted planes+1 (=13) rows per vector and compounded with
+    * hot buckets into a fanout×blowup at web scale. Recall comes from
+    * table independence instead of probing: a cosine-τ pair collides
+    * in one table w.p. (1 − θ/π)^planesPerTable, so with 4×10 tables a
+    * 0.95-cosine pair is caught w.p. ≈ 1−(1−0.6)⁴ ≈ 0.97 while the
+    * per-vector row cost drops 13 → 4. */
   def embeddingNearDups(embeddings: DataFrame, idCol: String, vecCol: String,
-                        threshold: Double, planes: Int = 12, seed: Long = 42L): Dataset[ScoredPair] = {
+                        threshold: Double, tables: Int = 4, planesPerTable: Int = 10,
+                        seed: Long = 42L): Dataset[ScoredPair] = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val vecs = embeddings.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
@@ -179,19 +189,19 @@ object Dedup {
       .map { case (id, v) => (id, v.toArray) }
       .toDF("id", "vec").as[(Long, Array[Float])].cache()
 
-    // hyperplane matrix built once per PARTITION (dim is only known
-    // from the data), not per row — same hoist as Ann.lshTopK
+    // per-table hyperplane matrices built once per PARTITION (dim is
+    // only known from the data), not per row — same hoist as Ann.lshTopK
     val buckets = vecs.mapPartitions { it =>
-      var mat: Array[Array[Double]] = null
+      var mats: Array[Array[Array[Double]]] = null
       it.flatMap { case (id, v) =>
-        if (mat == null) mat = Ann.planeMatrix(planes, v.length, seed)
-        val b = Ann.bucketOf(v, mat)
-        // multi-probe: own bucket + all 1-bit neighbors
-        (Seq(b) ++ (0 until planes).map(i => b ^ (1 << i))).map(k => (k, id))
+        if (mats == null)
+          mats = Array.tabulate(tables)(t =>
+            Ann.planeMatrix(planesPerTable, v.length, seed + 7919L * t))
+        (0 until tables).map(t => (t, Ann.bucketOf(v, mats(t)), id))
       }
-    }.toDF("key", "id").withColumn("band", lit(0))
+    }.toDF("band", "key", "id")
 
-    cappedPairJoin(buckets.select("band", "key", "id"), MaxBandBucket).toDF()
+    cappedPairJoin(buckets, MaxBandBucket).toDF()
       .join(vecs.toDF("a", "va"), "a")
       .join(vecs.toDF("b", "vb"), "b")
       .as[(Long, Long, Array[Float], Array[Float])]
