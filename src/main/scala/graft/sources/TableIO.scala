@@ -85,6 +85,21 @@ object TableIO {
     manifest
   }
 
+  /** Metrics-table sink (the north star's "Iceberg metrics table",
+    * through the same facade): per-stage lineage rows appended under
+    * run_id partitions — one accumulating table across runs, readable
+    * with partition pruning on run_id. */
+  def appendMetrics(metrics: Dataset[graft.kg.StageMetric], outDir: String): Unit =
+    metrics.toDF().write.mode("append").partitionBy("run_id").parquet(outDir)
+
+  def readMetrics(spark: SparkSession, outDir: String): Dataset[graft.kg.StageMetric] = {
+    import spark.implicits._
+    if (!Files.exists(Paths.get(outDir))) return spark.emptyDataset[graft.kg.StageMetric]
+    spark.read.parquet(outDir)
+      .select("run_id", "stage", "rows_in", "rows_out", "dropped", "wall_ms")
+      .as[graft.kg.StageMetric]
+  }
+
   /** Read back the committed triple table (manifest-listed ranges
     * only — uncommitted partial ranges are invisible, like an Iceberg
     * snapshot read). */

@@ -38,6 +38,35 @@ class ExperimentsSpec extends AnyFunSuite {
     result.unpersistAll()
   }
 
+  test("metrics table accumulates per-stage lineage across runs (north-star sink)") {
+    import graft.sources.TableIO
+    val dir = java.nio.file.Files.createTempDirectory("metrics").toString
+    val cfg = TranscriptGen.Config(nConvs = 15)
+    val (r1, m1) = Experiments.runWithMetrics(
+      spark, TranscriptGen.transcripts(spark, cfg), cfg, "run-A")
+    TableIO.appendMetrics(m1, dir)
+    r1.unpersistAll()
+    val (r2, m2) = Experiments.runWithMetrics(
+      spark, TranscriptGen.transcripts(spark, cfg), cfg, "run-B")
+    TableIO.appendMetrics(m2, dir)
+    r2.unpersistAll()
+    val all = TableIO.readMetrics(spark, dir).collect()
+    assert(all.map(_.run_id).toSet == Set("run-A", "run-B"))
+    assert(all.count(_.run_id == "run-A") == all.count(_.run_id == "run-B"))
+    // identical corpus + config → identical lineage counts per stage
+    val byStage = all.groupBy(m => (m.stage, m.run_id)).view.mapValues(_.head).toMap
+    Seq("prompts", "extract", "verify", "link", "canonicalize", "materialize").foreach { s =>
+      assert(byStage((s, "run-A")).rows_out == byStage((s, "run-B")).rows_out, s)
+    }
+    // run_id partition pruning: a run filter reaches PartitionFilters
+    import org.apache.spark.sql.functions.col
+    val one = spark.read.parquet(dir).filter(col("run_id") === "run-A")
+    one.collect()
+    val pf = one.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("run_id"), pf)
+  }
+
   test("confidence stage attaches levels; missing keys → null level") {
     import spark.implicits._
     val cfg = TranscriptGen.Config(nConvs = 40)
