@@ -35,7 +35,9 @@ object StreamingExtraction {
     * mapGroupsWithState (the construct canonicalization would need in
     * a fully streaming deployment, SURVEY §2.10): cumulative mention
     * counts and the max turn seen per conversation, updated batch by
-    * batch. */
+    * batch. NO timeout — state grows with |conversations|; production
+    * deployments use [[conversationStateExpiring]], which expires idle
+    * conversations on event time and removes their state. */
   final case class ConvState(conv_id: String, n_mentions: Long, max_turn: Int)
 
   def conversationState(turns: Dataset[Turn], cfg: TranscriptGen.Config): Dataset[ConvState] = {
