@@ -129,8 +129,12 @@ object Metrics {
         sum(when(col(labelCol), 0L).otherwise(1L)).as("nn"))
     val w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
     g.withColumn("cumneg", coalesce(sum("nn").over(w), lit(0L)))
-      .agg((sum(col("np") * (col("cumneg") + col("nn") / 2.0)) /
-        (sum("np") * sum("nn"))).as("auc"))
+      .agg(
+        // single-class input → AUC undefined → null (sklearn raises;
+        // a distributed operator must degrade, not emit NaN/Infinity)
+        when(sum("np") === 0 || sum("nn") === 0, lit(null).cast("double"))
+          .otherwise(sum(col("np") * (col("cumneg") + col("nn") / 2.0)) /
+            (sum("np") * sum("nn"))).as("auc"))
   }
 
   def aucRankSum(points: DataFrame, labelCol: String, scoreCol: String): Double =

@@ -57,6 +57,9 @@ class ConfidenceSpec extends AnyFunSuite {
     // all-equal scores → 0.5 (pure ties)
     val flat = Seq((true, 0.5), (false, 0.5), (true, 0.5), (false, 0.5)).toDF("label", "score")
     assert(approx(kg.Metrics.aucRankSum(flat, "label", "score"), 0.5))
+    // single-class input → null AUC, never NaN/Infinity
+    val onlyPos = Seq((true, 0.4), (true, 0.9)).toDF("label", "score")
+    assert(kg.Metrics.aucFrame(onlyPos, "label", "score").head().isNullAt(0))
   }
 
   test("pipeline logit stage: both classes present, softmax confidence separates them") {
