@@ -85,6 +85,45 @@ object TableIO {
     manifest
   }
 
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    if (Files.exists(p)) {
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.delete(f))
+    }
+  }
+
+  /** Compact committed ranges: rewrite each manifest-listed range so
+    * every (pred, bucket) partition holds ONE file. At 10^12-turn
+    * scale every incremental write appends task-count files per
+    * partition and readers pay per-file open cost — compaction is the
+    * standing maintenance op (Iceberg's rewrite_data_files, through
+    * this facade). Per range: rewrite into a temp dir, verify the row
+    * count against the manifest, then swap directories. The swap is
+    * two renames (a real Iceberg commit swaps a metadata pointer);
+    * the facade documents the single-writer assumption its manifest
+    * commits already make. A crash before the swap leaves the old
+    * range intact (stale temp dirs are cleaned on the next run). */
+  def compactTriples(spark: SparkSession, outDir: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    val manifest = readManifest(outDir)
+    manifest.toSeq.sortBy(_._1).foreach { case (r, entry) =>
+      val src = Paths.get(outDir, s"range=$r")
+      val tmp = Paths.get(outDir, s".range-$r-compacting")
+      deleteRecursively(tmp) // stale temp from a crashed compaction
+      spark.read.parquet(src.toString)
+        .repartition(col("pred"), col("bucket")) // 1 task owns each partition → 1 file
+        .write.mode("overwrite").partitionBy("pred", "bucket").parquet(tmp.toString)
+      val rows = spark.read.parquet(tmp.toString).count()
+      require(rows == entry.rows,
+        s"compaction row drift in range $r: $rows != ${entry.rows}")
+      val old = Paths.get(outDir, s".range-$r-old")
+      deleteRecursively(old)
+      Files.move(src, old, StandardCopyOption.ATOMIC_MOVE)
+      Files.move(tmp, src, StandardCopyOption.ATOMIC_MOVE)
+      deleteRecursively(old)
+    }
+  }
+
   /** Metrics-table sink (the north star's "Iceberg metrics table",
     * through the same facade): per-stage lineage rows appended under
     * run_id partitions — one accumulating table across runs, readable

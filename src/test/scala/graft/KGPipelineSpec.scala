@@ -94,6 +94,36 @@ class KGPipelineSpec extends AnyFunSuite {
     assert(back == full.collect().toSet)
   }
 
+  test("compaction: one file per partition, identical rows, manifest intact") {
+    import graft.sources.TableIO
+    val dir = java.nio.file.Files.createTempDirectory("triples_compact").toString
+    // write with extra parallelism so partitions hold MANY small files
+    val spread = result.triples.repartition(24)
+    TableIO.writeTriples(spread, dir)
+    val before = TableIO.readTriples(spark, dir).collect().toSet
+    def parquetFiles(d: String) = {
+      val root = java.nio.file.Paths.get(d)
+      val files = java.nio.file.Files.walk(root).iterator()
+      var perDir = Map.empty[String, Int]
+      files.forEachRemaining { p =>
+        if (p.toString.endsWith(".parquet"))
+          perDir = perDir.updated(p.getParent.toString, perDir.getOrElse(p.getParent.toString, 0) + 1)
+      }
+      perDir
+    }
+    assert(parquetFiles(dir).values.exists(_ > 1), "fixture must start with small files")
+    val manifestBefore = TableIO.readManifest(dir)
+    TableIO.compactTriples(spark, dir)
+    assert(parquetFiles(dir).values.forall(_ == 1), s"files per dir: ${parquetFiles(dir).values.max}")
+    assert(TableIO.readTriples(spark, dir).collect().toSet == before)
+    assert(TableIO.readManifest(dir).view.mapValues(_.rows).toMap ==
+      manifestBefore.view.mapValues(_.rows).toMap)
+    // resume after compaction is a no-op (manifest complete)
+    val again = TableIO.writeTriples(result.triples, dir)
+    assert(again.keySet == manifestBefore.keySet)
+    assert(TableIO.readTriples(spark, dir).collect().toSet == before)
+  }
+
   test("oversized prompts are dropped (counted, not extracted)") {
     import spark.implicits._
     val turns = TranscriptGen.transcripts(spark, cfg)
