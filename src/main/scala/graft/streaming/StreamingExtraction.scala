@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import graft.kg.{Extraction, LinkMatch, Mention, Turn, TranscriptGen}
+import graft.kg.{Extraction, LinkMatch, Mention, Triple, Turn, TranscriptGen}
 
 /** Structured Streaming lift of the extraction stage (SURVEY §2.10).
   * The per-turn chain is stateless once the scorer/few-shot index is
@@ -101,6 +101,28 @@ object StreamingExtraction {
             next
           }
       }
+  }
+
+  /** Streaming triple materialization against a FROZEN canonical map —
+    * the deployment split: linking + canonicalization run in batch
+    * over the accumulated store and publish a (surface → canonical)
+    * map; the per-turn stream materializes triples against the latest
+    * published map in a stateless narrow pass (broadcast lookup, no
+    * stream-side join). Global triple dedup is the batch compactor's
+    * job — a stream cannot hold unbounded distinct state. */
+  def tripleStream(turns: Dataset[Turn], cfg: TranscriptGen.Config,
+                   canonical: Map[String, String]): Dataset[Triple] = {
+    import turns.sparkSession.implicits._
+    val bc = turns.sparkSession.sparkContext.broadcast(canonical)
+    extractionStream(turns, cfg).flatMap { e =>
+      val m = bc.value
+      val subjTurn = s"${e.conv_id}#${e.turn_idx}"
+      e.verified.map { case (ne, tag) =>
+        Triple(subjTurn, "mentions_" + tag, m.getOrElse(ne, ne))
+      } ++ e.relations.map { case (s, p, o) =>
+        Triple(m.getOrElse(s, s), p, m.getOrElse(o, o))
+      }
+    }
   }
 
   /** One mention string's current canonical entity assignment. */

@@ -67,6 +67,36 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming triples against a frozen canonical map equal the batch triples") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val turns = (0L until 12L).flatMap { c =>
+      (0 until TranscriptGen.turnsFor(c, cfg)).map(t => TranscriptGen.genTurn(c, t, cfg).turn)
+    }
+    // batch run publishes the canonical map (the deployment split)
+    val batch = graft.kg.KGPipeline.run(spark, turns.toDS(), cfg)
+    val canon = batch.canonicalMap.collect()
+      .filter(_.getString(0).startsWith("m:"))
+      .map(r => r.getString(0).substring(2) -> r.getString(1)).toMap
+    val batchTriples = batch.triples.collect().toSet
+
+    val stream = MemoryStream[Turn]
+    val q = StreamingExtraction.tripleStream(stream.toDS(), cfg, canon)
+      .writeStream.format("memory").queryName("stream_triples")
+      .outputMode("append").trigger(Trigger.Once())
+      .start()
+    // two "arrival batches" of the same turns
+    val (b1, b2) = turns.partition(_.turn_idx % 2 == 0)
+    stream.addData(b1); stream.addData(b2)
+    q.awaitTermination(60000)
+    val streamed = spark.table("stream_triples").collect()
+      .map(r => graft.kg.Triple(r.getString(0), r.getString(1), r.getString(2))).toSet
+    // set equality: global distinct is the batch compactor's job
+    assert(streamed == batchTriples,
+      s"extra=${(streamed -- batchTriples).take(3)} missing=${(batchTriples -- streamed).take(3)}")
+    batch.unpersistAll()
+  }
+
   test("event-time timeout expires idle conversation state and removes it") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
