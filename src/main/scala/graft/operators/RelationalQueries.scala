@@ -325,7 +325,74 @@ object RelationalQueries {
   def q27SaltedCount(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Skew.saltedCount(t(spark, dir, "events"), "user_id")
 
+  /** Word-3-gram shingles of a document as an exploded (doc_id, i, g)
+    * frame — shared scan shape for the fingerprint/dedup oracles
+    * below. Docs under 3 tokens yield no shingles (both engines). */
+  private def shingleFrame(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(trim(col("text")), "\\s+")
+    t(spark, dir, "documents")
+      .select(col("doc_id"), toks.as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), posexplode(
+        expr("transform(sequence(0, size(t)-3), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"))
+        .as(Seq("i", "g")))
+  }
+
+  /** Winnowing fingerprint postings (TextOps.fingerprintPostings'
+    * oracle-grade shadow): md5 each word-3-gram, take the min hash of
+    * every full window of 4 consecutive shingles, distinct per doc —
+    * the Schleimer/Wilkerson/Aiken winnowing scheme expressed with an
+    * engine-portable hash (md5) so DuckDB computes the IDENTICAL
+    * fingerprints. Window min is a rows-between frame, no self-join. */
+  def q28WinnowPostings(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("i")
+      .rowsBetween(Window.currentRow, 3)
+    shingleFrame(spark, dir)
+      .select(col("doc_id"), col("i"), md5(col("g")).as("h"))
+      .withColumn("fp", min(col("h")).over(w))
+      .withColumn("wn", count(lit(1)).over(w))
+      .filter(col("wn") === 4) // only windows fully inside the doc
+      .select("doc_id", "fp")
+      .distinct()
+  }
+
+  /** MinHash-LSH candidate generation + exact-Jaccard verify
+    * (Dedup.minhashCandidates/verify's oracle-grade shadow): 8
+    * md5-seeded minhashes → 2 bands of 4 → band-key equi self-join →
+    * exact word-3-gram Jaccard on each candidate pair. Never all
+    * pairs: only pairs agreeing on a full band are scored — the exact
+    * LSH shape the production dedup uses, with a hash DuckDB can
+    * reproduce bit-for-bit. */
+  def q29LshJaccard(spark: SparkSession, dir: String): DataFrame = {
+    def mh(j: Int): Column =
+      array_min(transform(col("gs"), g => md5(concat(lit(s"$j:"), g))))
+    val toks = split(trim(col("text")), "\\s+")
+    // shingle SET built narrowly per doc — no shuffle before banding
+    val sig = t(spark, dir, "documents")
+      .select(col("doc_id"), toks.as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), array_distinct(
+        expr("transform(sequence(0, size(t)-3), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"))
+        .as("gs"))
+      .select(col("doc_id"), col("gs"),
+        md5(concat(mh(0), mh(1), mh(2), mh(3))).as("band0"),
+        md5(concat(mh(4), mh(5), mh(6), mh(7))).as("band1"))
+    val bk = sig.select(col("doc_id"), col("gs"),
+      explode(array(concat(lit("0:"), col("band0")),
+        concat(lit("1:"), col("band1")))).as("bk"))
+    val lhs = bk.select(col("bk"), col("doc_id").as("a"), col("gs").as("ga"))
+    val rhs = bk.select(col("bk"), col("doc_id").as("b"), col("gs").as("gb"))
+    lhs.join(rhs, "bk")
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        round(size(array_intersect(col("ga"), col("gb"))).cast("double") /
+          size(array_union(col("ga"), col("gb"))), 4).as("jaccard"))
+      .distinct()
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q28_winnow_postings" -> q28WinnowPostings,
+    "q29_lsh_jaccard" -> q29LshJaccard,
     "q24_auc" -> q24Auc,
     "q25_nested_flatten" -> q25NestedFlatten,
     "q26_label_check" -> q26LabelCheck,
@@ -358,6 +425,43 @@ object RelationalQueries {
   /** DuckDB oracle SQL — same table names, same output column names,
     * same rounding. */
   val oracle: Map[String, String] = Map(
+    "q28_winnow_postings" ->
+      """WITH d AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+        |  WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 3),
+        |sh AS (
+        |  SELECT doc_id, i, md5(concat_ws(' ', t[i], t[i+1], t[i+2])) AS h
+        |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-2)) AS i FROM d)),
+        |wm AS (
+        |  SELECT doc_id,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+        |    count(*) OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wn
+        |  FROM sh)
+        |SELECT DISTINCT doc_id, fp FROM wm WHERE wn = 4""".stripMargin,
+    "q29_lsh_jaccard" ->
+      """WITH d AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+        |  WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 3),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t)-2),
+        |         i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS gs FROM d),
+        |sig AS (
+        |  SELECT doc_id, gs,
+        |    md5(concat(
+        |      list_min(list_transform(gs, g -> md5('0:' || g))),
+        |      list_min(list_transform(gs, g -> md5('1:' || g))),
+        |      list_min(list_transform(gs, g -> md5('2:' || g))),
+        |      list_min(list_transform(gs, g -> md5('3:' || g))))) AS band0,
+        |    md5(concat(
+        |      list_min(list_transform(gs, g -> md5('4:' || g))),
+        |      list_min(list_transform(gs, g -> md5('5:' || g))),
+        |      list_min(list_transform(gs, g -> md5('6:' || g))),
+        |      list_min(list_transform(gs, g -> md5('7:' || g))))) AS band1
+        |  FROM sh),
+        |bk AS (SELECT doc_id, gs, unnest(['0:' || band0, '1:' || band1]) AS bk FROM sig)
+        |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+        |  round(len(list_intersect(x.gs, y.gs)) * 1.0 / len(list_distinct(x.gs || y.gs)), 4) AS jaccard
+        |FROM bk x JOIN bk y USING (bk) WHERE x.doc_id < y.doc_id""".stripMargin,
     "q24_auc" ->
       """WITH g AS (
         |  SELECT round(value, 3) AS s,

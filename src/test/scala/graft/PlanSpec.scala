@@ -103,6 +103,26 @@ class PlanSpec extends AnyFunSuite {
     result.unpersistAll()
   }
 
+  test("q29 LSH candidates equi-join on the band key (no cartesian, no all-pairs)") {
+    val df = RelationalQueries.q29LshJaccard(spark, dir)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), "banded LSH must never cross-product")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "candidates must equi-join on bk")
+    assert(p.contains("bk"), "join key must be the band key")
+    // exact duplicates (identical text) MUST surface as jaccard-1.0 candidates
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val dupPairs = docs.as("x").join(docs.as("y"),
+        col("x.text") === col("y.text") && col("x.doc_id") < col("y.doc_id"))
+      .filter(size(split(trim(col("x.text")), "\\s+")) >= 3)
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val found = df.filter(col("jaccard") === 1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dupPairs.subsetOf(found),
+      s"missing exact-dup pairs: ${dupPairs -- found}")
+  }
+
   test("whole-stage codegen covers the relational aggregates") {
     val p = plan(RelationalQueries.q01PricingAgg(spark, dir))
     // under AQE the codegen stage prints as a `*(n)` prefix
