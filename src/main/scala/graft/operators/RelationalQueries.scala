@@ -380,13 +380,24 @@ object RelationalQueries {
     val bk = sig.select(col("doc_id"), col("gs"),
       explode(array(concat(lit("0:"), col("band0")),
         concat(lit("1:"), col("band1")))).as("bk"))
-    val lhs = bk.select(col("bk"), col("doc_id").as("a"), col("gs").as("ga"))
-    val rhs = bk.select(col("bk"), col("doc_id").as("b"), col("gs").as("gb"))
-    lhs.join(rhs, "bk")
-      .filter(col("a") < col("b"))
-      .select(col("a"), col("b"),
-        round(size(array_intersect(col("ga"), col("gb"))).cast("double") /
-          size(array_union(col("ga"), col("gb"))), 4).as("jaccard"))
+    // bucket the band rows and emit pairs INSIDE each bucket: the
+    // sketch pipeline runs once (a self-join would recompute all 8
+    // minhash passes on both sides) and the only shuffle is the
+    // groupBy(bk). Pair orientation is normalized a<b; distinct
+    // collapses pairs that agree on both bands.
+    val buckets = bk.groupBy("bk")
+      .agg(collect_list(struct(col("doc_id").as("id"), col("gs").as("g"))).as("ms"))
+      .filter(size(col("ms")) >= 2)
+    buckets
+      .select(explode(expr(
+        """flatten(transform(ms, (x, i) ->
+          |  transform(slice(ms, i + 2, size(ms)),
+          |            y -> named_struct('x', x, 'y', y))))""".stripMargin)).as("p"))
+      .select(
+        least(col("p.x.id"), col("p.y.id")).as("a"),
+        greatest(col("p.x.id"), col("p.y.id")).as("b"),
+        round(size(array_intersect(col("p.x.g"), col("p.y.g"))).cast("double") /
+          size(array_union(col("p.x.g"), col("p.y.g"))), 4).as("jaccard"))
       .distinct()
   }
 

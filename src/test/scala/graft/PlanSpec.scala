@@ -103,12 +103,12 @@ class PlanSpec extends AnyFunSuite {
     result.unpersistAll()
   }
 
-  test("q29 LSH candidates equi-join on the band key (no cartesian, no all-pairs)") {
+  test("q29 LSH candidates come from band buckets (single sketch pass, no join, no all-pairs)") {
     val df = RelationalQueries.q29LshJaccard(spark, dir)
     val p = plan(df)
     assert(!p.contains("CartesianProduct"), "banded LSH must never cross-product")
-    assert(!p.contains("BroadcastNestedLoopJoin"), "candidates must equi-join on bk")
-    assert(p.contains("bk"), "join key must be the band key")
+    assert(!p.contains("Join"), "bucket grouping replaces the self-join — the sketch pipeline must run ONCE")
+    assert(p.contains("bk"), "grouping key must be the band key")
     // exact duplicates (identical text) MUST surface as jaccard-1.0 candidates
     import org.apache.spark.sql.functions._
     val docs = spark.read.parquet(s"$dir/documents.parquet")
