@@ -68,30 +68,45 @@ object Dedup {
     cappedPairJoin(bands.toDF("band", "key", "id"), maxBucket)
   }
 
-  /** Shared capped self-join over (band, key, id) bucket rows: drops
-    * + logs oversized buckets, then emits distinct a<b pairs. The
-    * bucket-size stats run on the per-bucket AGGREGATE (one row per
-    * bucket), never on raw pairs. */
+  /** Shared capped pair generation over (band, key, id) bucket rows:
+    * ONE shuffle (groupByKey on the bucket key) computes the upstream
+    * sketch pipeline exactly once — the previous self-join shape
+    * recomputed it four times (size pass, kept-filter join, both join
+    * sides). Per-bucket memory is bounded: at most `maxBucket`+1 ids
+    * are buffered, overflow is counted and the bucket dropped + LOGGED
+    * (never silently). The bounded bucket frame is localCheckpoint-ed
+    * so the drop-stats action and the pair emission both read the
+    * materialized buckets instead of re-running the sketch. */
   private def cappedPairJoin(bands: DataFrame, maxBucket: Long): Dataset[CandidatePair] = {
     val spark = bands.sparkSession
     import spark.implicits._
-    val sizes = bands.groupBy(col("band"), col("key"))
-      .agg(count(lit(1)).as("sz"))
-    val over = sizes.filter(col("sz") > maxBucket)
+    val cap = maxBucket.toInt
+    val buckets = bands.select(col("band"), col("key"), col("id"))
+      .as[(Int, Long, Long)]
+      .groupByKey(t => (t._1, t._2))
+      .mapGroups { (_: (Int, Long), it: Iterator[(Int, Long, Long)]) =>
+        val ids = new scala.collection.mutable.ArrayBuffer[Long](16)
+        var sz = 0L
+        it.foreach { t => sz += 1; if (ids.length <= cap) ids += t._3 }
+        (ids.toArray, sz)
+      }
+      .localCheckpoint()
+    val over = buckets.filter(_._2 > maxBucket).toDF("ids", "sz")
       .agg(count(lit(1)).as("nBuckets"), coalesce(sum("sz"), lit(0L)).as("nRows"))
       .head()
     if (over.getLong(0) > 0)
       System.err.println(s"[graft.Dedup] dropped ${over.getLong(0)} band buckets " +
         s"(> $maxBucket members, ${over.getLong(1)} rows) from candidate generation — " +
         "collapse exact duplicates first (minhashNearDupsScaled) to keep recall")
-    val kept = sizes.filter(col("sz") <= maxBucket).select("band", "key")
-    val keptBands = bands.join(kept, Seq("band", "key"))
-    val l = keptBands.select(col("band"), col("key"), col("id").as("a"))
-    val r = keptBands.select(col("band"), col("key"), col("id").as("b"))
-    l.join(r, Seq("band", "key"))
-      .filter(col("a") < col("b"))
-      .select("a", "b").distinct()
-      .as[CandidatePair]
+    buckets.filter(b => b._2 <= maxBucket && b._1.length >= 2)
+      .flatMap { case (ids: Array[Long], _: Long) =>
+        val s = ids.sorted
+        for {
+          i <- s.indices.iterator
+          j <- (i + 1 until s.length).iterator
+        } yield CandidatePair(s(i), s(j))
+      }
+      .distinct()
   }
 
   /** MinHash near-dup pairs with EXACT Jaccard verification ≥ τ:
@@ -277,9 +292,27 @@ object Dedup {
         case (k, b) => BandKey(b, k, s.doc_id)
       }
     }.toDF("band", "key", "doc_id")
-    val bandMin = bands.groupBy("band", "key").agg(min("doc_id").as("band_min"))
-    bands.join(bandMin, Seq("band", "key"))
-      .groupBy("doc_id")
-      .agg(min("band_min").as("cluster_id"))
+    // secondary sort: repartition by bucket, sort (bucket, id) within
+    // partitions, stream each bucket once — its first id IS the bucket
+    // min. The sketch pipeline runs ONCE (the groupBy+join shape
+    // computed it twice) and per-bucket memory is O(1) even for
+    // pathological hot buckets.
+    val withBandMin = bands
+      .repartition(col("band"), col("key"))
+      .sortWithinPartitions("band", "key", "doc_id")
+      .as[(Int, Long, Long)]
+      .mapPartitions { it =>
+        var curBand = -1
+        var curKey = 0L
+        var curMin = 0L
+        it.map { case (band, key, id) =>
+          if (band != curBand || key != curKey) {
+            curBand = band; curKey = key; curMin = id
+          }
+          (id, curMin)
+        }
+      }
+      .toDF("doc_id", "band_min")
+    withBandMin.groupBy("doc_id").agg(min("band_min").as("cluster_id"))
   }
 }
