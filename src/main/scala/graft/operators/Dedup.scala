@@ -199,10 +199,14 @@ object Dedup {
                         seed: Long = 42L): Dataset[ScoredPair] = {
     val spark = embeddings.sparkSession
     import spark.implicits._
+    // localCheckpoint, not cache(): three consumers (buckets + both
+    // verify joins) read the materialized vectors, and the blocks are
+    // GC-reclaimed with the Dataset instead of leaking in a shared
+    // session until someone calls unpersist
     val vecs = embeddings.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
       .as[(Long, Seq[Float])]
       .map { case (id, v) => (id, v.toArray) }
-      .toDF("id", "vec").as[(Long, Array[Float])].cache()
+      .toDF("id", "vec").as[(Long, Array[Float])].localCheckpoint()
 
     // per-table hyperplane matrices built once per PARTITION (dim is
     // only known from the data), not per row — same hoist as Ann.lshTopK
