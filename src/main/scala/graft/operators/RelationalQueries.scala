@@ -401,7 +401,34 @@ object RelationalQueries {
       .distinct()
   }
 
+  /** Blocked entity linking, oracle-grade shadow of
+    * EntityLinking.proposalsBlocked (the north rule's blocking-key
+    * candidate generation): mentions and catalogue are the even/odd
+    * halves of part names, candidates come from a first-word equi-join
+    * (never a cross product), and only candidates are Jaro-Winkler
+    * scored, top-1 per mention with the q15 aggregate (min over
+    * (-jw, name)). Portable keys (first token) so DuckDB reproduces
+    * the candidate set exactly; the production operator's hashed
+    * multi-key blocking is spec-gated instead (BlockedLinkingSpec). */
+  def q30BlockedLink(spark: SparkSession, dir: String): DataFrame = {
+    val jw = udf((a: String, b: String) => StringSim.jaroWinkler(a, b))
+    val p = t(spark, dir, "part").select(col("p_partkey"), col("p_name"))
+    val m = p.filter(col("p_partkey") % 2 === 0)
+      .select(col("p_name").as("m_name"),
+        split(col("p_name"), " ").getItem(0).as("bkey"))
+    val c = p.filter(col("p_partkey") % 2 === 1)
+      .select(col("p_name").as("e_name"),
+        split(col("p_name"), " ").getItem(0).as("bkey"))
+    m.join(c, "bkey")
+      .select("m_name", "e_name").distinct()
+      .withColumn("jw", round(jw(col("m_name"), col("e_name")), 6))
+      .groupBy("m_name")
+      .agg(min(struct((col("jw") * -1).as("njw"), col("e_name"), col("jw"))).as("best"))
+      .select(col("m_name"), col("best.e_name").as("e_name"), col("best.jw").as("jw"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q30_blocked_link" -> q30BlockedLink,
     "q28_winnow_postings" -> q28WinnowPostings,
     "q29_lsh_jaccard" -> q29LshJaccard,
     "q24_auc" -> q24Auc,
@@ -436,6 +463,18 @@ object RelationalQueries {
   /** DuckDB oracle SQL — same table names, same output column names,
     * same rounding. */
   val oracle: Map[String, String] = Map(
+    "q30_blocked_link" ->
+      """WITH m AS (SELECT p_name AS m_name, split_part(p_name, ' ', 1) AS bkey
+        |           FROM part WHERE p_partkey % 2 = 0),
+        |c AS (SELECT p_name AS e_name, split_part(p_name, ' ', 1) AS bkey
+        |      FROM part WHERE p_partkey % 2 = 1),
+        |cand AS (SELECT DISTINCT m_name, e_name FROM m JOIN c USING (bkey)),
+        |scored AS (SELECT m_name, e_name,
+        |  round(jaro_winkler_similarity(m_name, e_name), 6) AS jw,
+        |  row_number() OVER (PARTITION BY m_name
+        |    ORDER BY round(jaro_winkler_similarity(m_name, e_name), 6) DESC, e_name) AS rn
+        |  FROM cand)
+        |SELECT m_name, e_name, jw FROM scored WHERE rn = 1""".stripMargin,
     "q28_winnow_postings" ->
       """WITH d AS (
         |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
