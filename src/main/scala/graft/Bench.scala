@@ -120,9 +120,11 @@ object Bench {
     val results =
       if (scalingOnly) Seq.empty[(String, Double)]
       else order.zipWithIndex.map { case (name, i) =>
-        val fn = SparkEntry.queries(name)
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        // lookup inside the guard: a typo in SPARK_GRAFT_BENCH_FILTER
+        // must not abort the whole bench (throughput + scaling included)
+        try { SparkEntry.queries(name)(spark, sfDir).count() }
+        catch { case _: Throwable => -1L }
         (if (order.count(_ == name) > 1) s"$name#$i" else name) ->
           (System.nanoTime() - t0) / 1e9
       }

@@ -51,6 +51,12 @@ object Extraction {
       .filter(t => t.text.nonEmpty && !t.text.contains("{"))
       .mapPartitions { it =>
         val shots = bc.value
+        // partition-constant index for the FstEntity arm — built once
+        // per partition, not per row (same hoist as Ann.planeMatrix)
+        lazy val entityIndex: Array[(Int, Array[Float])] =
+          shots.iterator.zipWithIndex.flatMap { case (ex, i) =>
+            ex.entityVecs.iterator.map(ev => (i, ev))
+          }.toArray
         it.map { t =>
           val block =
             if (k <= 0 || shots.isEmpty) ""
@@ -70,11 +76,8 @@ object Extraction {
                   // .py:110-124 — the idx-dedup-after-sort semantics)
                   val qTokens = t.text.split("\\s+").filter(_.nonEmpty)
                     .map(w => TextAnalytics.embedText(w))
-                  val flat = shots.iterator.zipWithIndex.flatMap { case (ex, i) =>
-                    ex.entityVecs.iterator.map(ev => (i, ev))
-                  }.toArray
                   val merged = qTokens.iterator.flatMap { qv =>
-                    flat.map { case (i, ev) =>
+                    entityIndex.map { case (i, ev) =>
                       (graft.functions.StringSim.cosine(qv, ev), i)
                     }.sortBy { case (s, i) => (-s, i) }.take(k)
                   }.toArray.sortBy { case (s, i) => (-s, i) }

@@ -137,8 +137,13 @@ object Metrics {
             (sum("np") * sum("nn"))).as("auc"))
   }
 
-  def aucRankSum(points: DataFrame, labelCol: String, scoreCol: String): Double =
-    aucFrame(points, labelCol, scoreCol).head().getDouble(0)
+  /** Scalar AUC; single-class input (aucFrame's null) degrades to NaN
+    * — the scalar API can't carry null, and getDouble on a null cell
+    * would throw instead of degrading. */
+  def aucRankSum(points: DataFrame, labelCol: String, scoreCol: String): Double = {
+    val row = aucFrame(points, labelCol, scoreCol).head()
+    if (row.isNullAt(0)) Double.NaN else row.getDouble(0)
+  }
 
   /** Student-t 95% confidence interval over repeated-run scores
     * (ner/utils.py:92-118, consumed at ResultInstance.py:75-87).

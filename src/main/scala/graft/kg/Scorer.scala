@@ -53,9 +53,20 @@ object Scorer {
       h
     }
 
+    // forms whose first char is not a letter/digit can never be found
+    // by word-start probing — they keep the round-1 per-form indexOf
+    // scan (zero such forms in the Lexicon; the class stays general)
+    private val (indexableForms, scannedForms) = forms.zipWithIndex.partition {
+      case ((surface, _, _), _) => surface.nonEmpty && surface.charAt(0).isLetterOrDigit
+    }
+    private val scanned: Array[(String, String, Int)] =
+      scannedForms.collect { case ((surface, _, tag), prio) if surface.nonEmpty =>
+        (surface, tag, prio)
+      }.toArray
+
     // first-word hash of each surface → (surface, tag, priority)
     private val byFirstWord: scala.collection.mutable.LongMap[Array[(String, String, Int)]] = {
-      val grouped = forms.zipWithIndex
+      val grouped = indexableForms
         .map { case ((surface, _, tag), prio) =>
           val w = surface.takeWhile(c => c.isLetterOrDigit)
           (wordHash(w, 0, w.length), surface, tag, prio)
@@ -92,6 +103,21 @@ object Scorer {
           }
           i = j
         } else i += 1
+      }
+      // fallback scan for non-word-start forms (same candidate shape,
+      // merged before the claim sort so ordering semantics are shared)
+      var f = 0
+      while (f < scanned.length) {
+        val (surface, tag, prio) = scanned(f)
+        var idx = text.indexOf(surface)
+        while (idx >= 0) {
+          val end = idx + surface.length
+          if ((idx == 0 || !text.charAt(idx - 1).isLetterOrDigit) &&
+              (end >= n || !text.charAt(end).isLetterOrDigit))
+            cands += ((prio, idx, surface, tag))
+          idx = text.indexOf(surface, idx + 1)
+        }
+        f += 1
       }
       // claim in (priority, position) order — the per-form scan's order
       val sorted = cands.sortBy(c => (c._1, c._2))

@@ -100,7 +100,10 @@ object Dedup {
         "collapse exact duplicates first (minhashNearDupsScaled) to keep recall")
     buckets.filter(b => b._2 <= maxBucket && b._1.length >= 2)
       .flatMap { case (ids: Array[Long], _: Long) =>
-        val s = ids.sorted
+        // distinct: duplicate doc_id rows in the input would otherwise
+        // put the same id twice in a bucket and emit an (x,x) pair the
+        // old a<b join shape structurally excluded
+        val s = ids.sorted.distinct
         for {
           i <- s.indices.iterator
           j <- (i + 1 until s.length).iterator

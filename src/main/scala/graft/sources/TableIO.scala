@@ -87,8 +87,10 @@ object TableIO {
 
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
     if (Files.exists(p)) {
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+      val stream = Files.walk(p)
+      try stream.sorted(java.util.Comparator.reverseOrder())
         .forEach(f => Files.delete(f))
+      finally stream.close() // walk holds directory handles until closed
     }
   }
 
@@ -102,13 +104,17 @@ object TableIO {
     * two renames (a real Iceberg commit swaps a metadata pointer);
     * the facade documents the single-writer assumption its manifest
     * commits already make. A crash before the swap leaves the old
-    * range intact (stale temp dirs are cleaned on the next run). */
+    * range intact (stale temp dirs are cleaned on the next run); a
+    * crash BETWEEN the two renames leaves the data in `.range-<r>-old`
+    * — the next compaction (or [[repairRange]]) restores it before
+    * proceeding, so every crash point is recoverable. */
   def compactTriples(spark: SparkSession, outDir: String): Unit = {
     import org.apache.spark.sql.functions.col
     val manifest = readManifest(outDir)
     manifest.toSeq.sortBy(_._1).foreach { case (r, entry) =>
       val src = Paths.get(outDir, s"range=$r")
       val tmp = Paths.get(outDir, s".range-$r-compacting")
+      repairRange(outDir, r) // crash between the two swap renames
       deleteRecursively(tmp) // stale temp from a crashed compaction
       spark.read.parquet(src.toString)
         .repartition(col("pred"), col("bucket")) // 1 task owns each partition → 1 file
@@ -122,6 +128,16 @@ object TableIO {
       Files.move(tmp, src, StandardCopyOption.ATOMIC_MOVE)
       deleteRecursively(old)
     }
+  }
+
+  /** Restore a range whose swap crashed between the two renames: the
+    * manifest-listed directory is missing but its `.range-<r>-old`
+    * sibling exists. No-op otherwise. */
+  def repairRange(outDir: String, r: Int): Unit = {
+    val src = Paths.get(outDir, s"range=$r")
+    val old = Paths.get(outDir, s".range-$r-old")
+    if (!Files.exists(src) && Files.exists(old))
+      Files.move(old, src, StandardCopyOption.ATOMIC_MOVE)
   }
 
   /** Metrics-table sink (the north star's "Iceberg metrics table",

@@ -8,17 +8,18 @@ import graft.kg.{KGPipeline, TranscriptGen, Turn}
   * throughput and memory behavior hold as the input grows toward the
   * north rule's 10^12-turn target (spill-aware caches, no driver-side
   * state proportional to the corpus). Usage:
-  *   runMain graft.tools.StressRun [nConvs=10000000] [reps=2]
+  *   runMain graft.tools.StressRun [nConvs=10000000] [reps=2] [cores=32]
   */
 object StressRun {
   def main(args: Array[String]): Unit = {
     val nConvs = args.headOption.map(_.toLong).getOrElse(10000000L)
     val reps = args.lift(1).map(_.toInt).getOrElse(2)
+    val cores = args.lift(2).map(_.toInt).getOrElse(32)
     val spark = SparkSession.builder()
-      .master("local[32]")
-      .appName(s"graft-stress-$nConvs")
-      .config("spark.sql.shuffle.partitions", 64)
-      .config("spark.default.parallelism", 64)
+      .master(s"local[$cores]")
+      .appName(s"graft-stress-$nConvs-$cores")
+      .config("spark.sql.shuffle.partitions", math.max(cores, 64))
+      .config("spark.default.parallelism", math.max(cores, 64))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.files.maxPartitionBytes", "32m")
       .config("spark.sql.files.openCostInBytes", "1m")
@@ -46,7 +47,7 @@ object StressRun {
       val wall = (System.nanoTime() - t0) / 1e9
       result.unpersistAll()
       System.gc()
-      println(f"""{"stress":{"rep":$rep,"n_convs":$nConvs,"n_turns":$nTurns,"triples":$nTriples,"wall_sec":$wall%.1f,"triples_per_sec":${nTriples / wall}%.0f,"turns_per_sec":${nTurns / wall}%.0f}}""")
+      println(f"""{"stress":{"rep":$rep,"cores":$cores,"n_convs":$nConvs,"n_turns":$nTurns,"triples":$nTriples,"wall_sec":$wall%.1f,"triples_per_sec":${nTriples / wall}%.0f,"turns_per_sec":${nTurns / wall}%.0f}}""")
     }
     spark.stop()
   }

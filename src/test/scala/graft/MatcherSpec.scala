@@ -74,4 +74,19 @@ class MatcherSpec extends AnyFunSuite {
       assert(m.findMentions(text) == naive(forms, text), s"text: [$text]")
     }
   }
+
+  test("forms starting with a non-alphanumeric char still match (fallback scan)") {
+    val forms = Vector(("-Org", "x", "ORG"), ("Alice Johnson", "x", "PERSON"))
+    val m = new Scorer.Matcher(forms)
+    val texts = Seq(
+      "met -Org today",            // non-word-start form present
+      "-Org",                      // whole text
+      "x-Org y",                   // left char not letter/digit → bounded
+      "a-Orgb",                    // right-unbounded → no match
+      "Alice Johnson met -Org")    // both kinds together
+    texts.foreach { text =>
+      assert(m.findMentions(text) == naive(forms, text), s"text: [$text]")
+    }
+    assert(m.findMentions("met -Org today") == List(("-Org", "ORG")))
+  }
 }
