@@ -60,6 +60,8 @@ class ConfidenceSpec extends AnyFunSuite {
     // single-class input → null AUC, never NaN/Infinity
     val onlyPos = Seq((true, 0.4), (true, 0.9)).toDF("label", "score")
     assert(kg.Metrics.aucFrame(onlyPos, "label", "score").head().isNullAt(0))
+    // …and the scalar API degrades to NaN instead of NPE-ing on the null
+    assert(kg.Metrics.aucRankSum(onlyPos, "label", "score").isNaN)
   }
 
   test("pipeline logit stage: both classes present, softmax confidence separates them") {

@@ -122,6 +122,16 @@ class KGPipelineSpec extends AnyFunSuite {
     val again = TableIO.writeTriples(result.triples, dir)
     assert(again.keySet == manifestBefore.keySet)
     assert(TableIO.readTriples(spark, dir).collect().toSet == before)
+    // crash WINDOW between the two swap renames: src gone, data parked
+    // in .range-<r>-old — the next compaction must restore and proceed
+    val r0 = manifestBefore.keySet.min
+    val src = java.nio.file.Paths.get(dir, s"range=$r0")
+    val old = java.nio.file.Paths.get(dir, s".range-$r0-old")
+    java.nio.file.Files.move(src, old)
+    assert(!java.nio.file.Files.exists(src))
+    TableIO.compactTriples(spark, dir)
+    assert(java.nio.file.Files.exists(src) && !java.nio.file.Files.exists(old))
+    assert(TableIO.readTriples(spark, dir).collect().toSet == before)
   }
 
   test("oversized prompts are dropped (counted, not extracted)") {
