@@ -16,6 +16,13 @@ import scala.util.matching.Regex
   */
 object Parsers {
 
+  /** Python single-quoted string literal (the scorer wire format the
+    * parsers above read back). ONE definition for every writer —
+    * Scorer, PromptTechniques and FewShots previously each carried a
+    * private copy, and one had drifted (missing backslash escaping). */
+  def pyStr(s: String): String =
+    "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
   val Conll4Tags: Set[String] = Set("PER", "ORG", "LOC", "MISC")
 
   val OntoNotes5Tags: Set[String] = Set(

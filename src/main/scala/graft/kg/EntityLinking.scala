@@ -155,6 +155,10 @@ object EntityLinking {
   /** Driver-local scoring — literally the reference's control flow
     * (entityMatching.py:82-94) over the deduped mention strings. */
   def linkLocal(mentionStrings: Seq[String], catalogue: Array[Entity]): Seq[LinkMatch] = {
+    // empty catalogue → no matches, like the distributed path (top.head
+    // below would otherwise throw and make the two spec-equal paths
+    // diverge: one crashes, one degrades)
+    if (catalogue.isEmpty) return Seq.empty
     val ents = catalogue.sortBy(_.entity_id)
     val perMention = mentionStrings.sorted.map { mention =>
       val scored = ents.map(e => (e, StringSim.jaroWinkler(mention, e.display_name)))

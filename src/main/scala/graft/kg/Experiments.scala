@@ -128,12 +128,16 @@ object Experiments {
     val mentions = extracted.flatMap(e =>
       e.parsed.map { case (m, t) => Mention(e.conv_id, e.turn_idx, m, t) })
     val nMentions = mentions.count()
+    // verified is consumed by four actions below (verify count, link
+    // input, two materialize row counts) — count it ONCE over the
+    // cached extracted rows instead of re-running the flatMap per job
     val verified = extracted.flatMap(e =>
-      e.verified.map { case (m, t) => Mention(e.conv_id, e.turn_idx, m, t) })
-    staged[Unit]("verify", nMentions) { ((), verified.count()) }
+      e.verified.map { case (m, t) => Mention(e.conv_id, e.turn_idx, m, t) }).cache()
+    val nVerified = verified.count()
+    staged[Unit]("verify", nMentions) { ((), nVerified) }
     val relations = extracted.flatMap(e =>
       e.relations.map { case (s, p, o) => Relation(e.conv_id, e.turn_idx, s, p, o) })
-    val links = staged("link", verified.count()) {
+    val links = staged("link", nVerified) {
       val l = EntityLinking.link(verified, Lexicon.catalogue.toArray).cache()
       (l, l.count())
     }
@@ -141,10 +145,11 @@ object Experiments {
       val c = Canonicalize.canonicalMap(links, TranscriptGen.entities(spark)).cache()
       (c, c.count())
     }
-    val triples = staged("materialize", verified.count() + relations.count()) {
+    val triples = staged("materialize", nVerified + relations.count()) {
       val t = KGPipeline.materializeTriples(verified, relations, canon)
       (t, t.count())
     }
+    verified.unpersist() // last action that reads it ran above
     val result = KGPipeline.Result(turns, prompts, mentions, verified, relations,
       links, canon, triples, extracted)
     (result, spark.createDataset(metrics.result()))

@@ -50,8 +50,10 @@ object FewShots {
     val outputs = gold.groupByKey(m => (m.conv_id, m.turn_idx))
       .mapGroups { (key: (String, Int), it: Iterator[Mention]) =>
         val spans = it.map(m => (m.mention, m.tag)).toList.sortBy(identity)
+        // shared wire-format escaping (this site had drifted: it
+        // escaped quotes but not backslashes)
         val body = spans.map { case (ne, tag) =>
-          s"('${ne.replace("'", "\\'")}', '$tag')"
+          s"(${graft.functions.Parsers.pyStr(ne)}, ${graft.functions.Parsers.pyStr(tag)})"
         }.mkString("[", ", ", "]")
         (key._1, key._2, body, spans.map(_._1))
       }

@@ -107,17 +107,20 @@ object KGPipeline {
       return materializeTriples(verified, relations, canon)
     val map = canonM.collect().map(r => r.getString(0).substring(2) -> r.getString(1)).toMap
     val bc = spark.sparkContext.broadcast(map)
-    extracted.flatMap { e =>
-      val m = bc.value
-      val subjTurn = s"${e.conv_id}#${e.turn_idx}"
-      val mentionTriples = e.verified.map { case (ne, tag) =>
-        Triple(subjTurn, "mentions_" + tag, m.getOrElse(ne, ne))
-      }
-      val relTriples = e.relations.map { case (s, p, o) =>
-        Triple(m.getOrElse(s, s), p, m.getOrElse(o, o))
-      }
-      mentionTriples ++ relTriples
-    }.distinct()
+    extracted.flatMap { e => triplesOf(e, bc.value) }.distinct()
+  }
+
+  /** The triple vocabulary of one extracted turn against a canonical
+    * surface map — the ONE definition shared by the batch narrow path
+    * and the streaming lift (StreamingExtraction.tripleStream): a
+    * change here changes both, so batch and stream can never drift. */
+  def triplesOf(e: Extraction.TurnExtraction, m: Map[String, String]): Seq[Triple] = {
+    val subjTurn = s"${e.conv_id}#${e.turn_idx}"
+    e.verified.map { case (ne, tag) =>
+      Triple(subjTurn, "mentions_" + tag, m.getOrElse(ne, ne))
+    } ++ e.relations.map { case (s, p, o) =>
+      Triple(m.getOrElse(s, s), p, m.getOrElse(o, o))
+    }
   }
 
   /** Maps a surface form through the canonical map (members are

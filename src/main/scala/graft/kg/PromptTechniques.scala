@@ -39,7 +39,7 @@ object PromptTechniques {
       text: String,
       responses: Seq[(String, String)])
 
-  private def pyStr(s: String): String = "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+  private def pyStr(s: String): String = graft.functions.Parsers.pyStr(s)
 
   private def noisy(convId: String, turnIdx: Int, text: String, salt: Long, cfg: TranscriptGen.Config): Boolean =
     Hashing.bucket(Hashing.hash64(s"$convId#$turnIdx#$text", cfg.seed ^ salt), 1000) < cfg.scorerNoisePerMille
@@ -58,8 +58,15 @@ object PromptTechniques {
       case Discussion =>
         Seq(("None", Scorer.mentionResponse(m, convId, turnIdx, text, cfg, examples)))
       case Wrapper =>
-        // replace each found surface with <TAG>surface</TAG> in order
-        val marked = mentions.foldLeft(text) { case (acc, (ne, tag)) =>
+        // replace each found surface with <TAG>surface</TAG> in order.
+        // DISTINCT surfaces only: findMentions emits one entry per
+        // occurrence, and replace already marks every occurrence — a
+        // second fold pass over the same surface would re-match inside
+        // the markup and nest tags (<GPE><GPE>…), corrupting the
+        // round-trip (the reference's span loop, MyDataset.py:104-109,
+        // has exactly that re-marking quirk; we dedupe instead of
+        // reproducing garbage the parser then mis-extracts)
+        val marked = mentions.distinct.foldLeft(text) { case (acc, (ne, tag)) =>
           acc.replace(ne, s"<$tag>$ne</$tag>")
         }
         Seq(("None", if (malformed) marked.replace("</", "<") else s"$marked <end_output>"))
@@ -76,11 +83,11 @@ object PromptTechniques {
         }.mkString("{", ", ", "}")
         Seq(("None", if (malformed) "{'x': " else s"$byTag <end_output>"))
       case AtAt =>
-        // per-tag fan-out: one response per tag, that tag's mentions wrapped
+        // per-tag fan-out: one response per tag, that tag's mentions
+        // wrapped (distinct surfaces — same re-marking guard as Wrapper)
         Extraction.MentionTags.toSeq.sorted.map { tag =>
-          val marked = mentions.filter(_._2 == tag).foldLeft(text) { case (acc, (ne, _)) =>
-            acc.replace(ne, s"@@$ne##")
-          }
+          val marked = mentions.filter(_._2 == tag).map(_._1).distinct
+            .foldLeft(text) { (acc, ne) => acc.replace(ne, s"@@$ne##") }
           (tag, if (malformed) marked.replace("##", "") else marked)
         }
     }

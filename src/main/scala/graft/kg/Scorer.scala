@@ -136,7 +136,7 @@ object Scorer {
 
   def newMatcher(): Matcher = new Matcher(Lexicon.surfaceForms)
 
-  private def pyStr(s: String): String = "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+  private def pyStr(s: String): String = graft.functions.Parsers.pyStr(s)
 
   private def noisy(convId: String, turnIdx: Int, text: String, salt: Long, perMille: Int, seed: Long): Boolean =
     Hashing.bucket(Hashing.hash64(s"$convId#$turnIdx#$text", seed ^ salt), 1000) < perMille

@@ -112,25 +112,36 @@ object Dedup {
       .distinct()
   }
 
-  /** MinHash near-dup pairs with EXACT Jaccard verification ≥ τ:
-    * candidates → join texts back (twice) → exact shingle Jaccard. */
-  def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
-                      threshold: Double): Dataset[ScoredPair] = {
-    val spark = docs.sparkSession
+  /** Shared exact-verify stage: join candidate pairs back to their
+    * texts (twice, by pair side) and score each pair with `measure`.
+    * Null text degrades to "" — matching sketch()'s tolerance; null-
+    * text docs sketch to the empty shingle set, share every band key
+    * and WILL appear as candidates, so the verify side must not NPE. */
+  private def verifyPairs(cands: DataFrame, texts: DataFrame)
+                         (measure: (String, String) => Double): Dataset[ScoredPair] = {
+    val spark = cands.sparkSession
     import spark.implicits._
-    val texts = docs.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
-    val cands = minhashCandidates(sketch(docs, idCol, textCol)).toDF()
     cands
       .join(texts.withColumnRenamed("id", "a").withColumnRenamed("text", "ta"), "a")
       .join(texts.withColumnRenamed("id", "b").withColumnRenamed("text", "tb"), "b")
       .as[(Long, Long, String, String)]
       .map { case (b, a, ta, tb) => // after the two key-joins: (b, a, ta, tb)
-        val ja = TextAnalytics.jaccard(
-          TextAnalytics.shingles(ta, ShingleK).toSet,
-          TextAnalytics.shingles(tb, ShingleK).toSet)
-        ScoredPair(a, b, ja)
+        ScoredPair(a, b, measure(if (ta == null) "" else ta, if (tb == null) "" else tb))
       }
-      .filter(_.score >= threshold)
+  }
+
+  private def wordJaccard(ta: String, tb: String): Double =
+    TextAnalytics.jaccard(
+      TextAnalytics.shingles(ta, ShingleK).toSet,
+      TextAnalytics.shingles(tb, ShingleK).toSet)
+
+  /** MinHash near-dup pairs with EXACT Jaccard verification ≥ τ:
+    * candidates → join texts back (twice) → exact shingle Jaccard. */
+  def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
+                      threshold: Double): Dataset[ScoredPair] = {
+    val texts = docs.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+    val cands = minhashCandidates(sketch(docs, idCol, textCol)).toDF()
+    verifyPairs(cands, texts)(wordJaccard).filter(_.score >= threshold)
   }
 
   /** SimHash near-dups: 4×16-bit band buckets (any hamming-≤3 pair
@@ -173,16 +184,11 @@ object Dedup {
       }
     }
     val cands = minhashCandidates(grams).toDF()
-    cands
-      .join(texts.withColumnRenamed("id", "a").withColumnRenamed("text", "ta"), "a")
-      .join(texts.withColumnRenamed("id", "b").withColumnRenamed("text", "tb"), "b")
-      .as[(Long, Long, String, String)]
-      .map { case (b, a, ta, tb) =>
-        ScoredPair(a, b, TextAnalytics.jaccard(
-          TextAnalytics.charNgrams(ta.toLowerCase, n).toSet,
-          TextAnalytics.charNgrams(tb.toLowerCase, n).toSet))
-      }
-      .filter(_.score >= threshold)
+    verifyPairs(cands, texts) { (ta, tb) =>
+      TextAnalytics.jaccard(
+        TextAnalytics.charNgrams(ta.toLowerCase, n).toSet,
+        TextAnalytics.charNgrams(tb.toLowerCase, n).toSet)
+    }.filter(_.score >= threshold)
   }
 
   /** Embedding near-dups: MULTI-TABLE random-hyperplane LSH
@@ -241,9 +247,12 @@ object Dedup {
     * 100k-copy cluster collapses to ONE representative, so band
     * buckets never see the N²/2 exact-dup pair explosion. */
   def collapseExact(docs: DataFrame, idCol: String, textCol: String): (DataFrame, DataFrame) = {
+    // 128-bit md5, not xxhash64: at the module's 10^12-doc target a
+    // 64-bit key expects ~N²/2^65 silent false merges (tens of
+    // thousands); 128 bits puts the collision mass below 10^-13
     val byHash = docs
       .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
-      .withColumn("h", xxhash64(col("text")))
+      .withColumn("h", md5(col("text")))
     val groups0 = byHash
       .groupBy("h")
       .agg(min("id").as("rep_id"), count(lit(1)).as("group_size"))
@@ -269,21 +278,9 @@ object Dedup {
                             threshold: Double, maxBucket: Long = MaxBandBucket)
       : (Dataset[ScoredPair], DataFrame) = {
     val (reps, groups) = collapseExact(docs, idCol, textCol)
-    val spark = docs.sparkSession
-    import spark.implicits._
     val texts = reps.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
     val cands = minhashCandidates(sketch(reps, idCol, textCol), maxBucket).toDF()
-    val pairs = cands
-      .join(texts.withColumnRenamed("id", "a").withColumnRenamed("text", "ta"), "a")
-      .join(texts.withColumnRenamed("id", "b").withColumnRenamed("text", "tb"), "b")
-      .as[(Long, Long, String, String)]
-      .map { case (b, a, ta, tb) =>
-        ScoredPair(a, b, TextAnalytics.jaccard(
-          TextAnalytics.shingles(ta, ShingleK).toSet,
-          TextAnalytics.shingles(tb, ShingleK).toSet))
-      }
-      .filter(_.score >= threshold)
-    (pairs, groups)
+    (verifyPairs(cands, texts)(wordJaccard).filter(_.score >= threshold), groups)
   }
 
   /** Per-doc candidate-cluster id: min doc_id over docs sharing any

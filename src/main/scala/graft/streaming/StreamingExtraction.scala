@@ -94,8 +94,10 @@ object StreamingExtraction {
               expired = false)
             state.update(next)
             // expire once the watermark passes the last activity + idle
+            // (empty batch — the case the max_turn guard above codes
+            // for — must not .max an empty Seq)
             val lastActivity = math.max(
-              batch.map(_.ts.getTime).max,
+              if (batch.isEmpty) Long.MinValue else batch.map(_.ts.getTime).max,
               state.getCurrentWatermarkMs())
             state.setTimeoutTimestamp(lastActivity + idleTimeoutMs)
             next
@@ -114,15 +116,9 @@ object StreamingExtraction {
                    canonical: Map[String, String]): Dataset[Triple] = {
     import turns.sparkSession.implicits._
     val bc = turns.sparkSession.sparkContext.broadcast(canonical)
-    extractionStream(turns, cfg).flatMap { e =>
-      val m = bc.value
-      val subjTurn = s"${e.conv_id}#${e.turn_idx}"
-      e.verified.map { case (ne, tag) =>
-        Triple(subjTurn, "mentions_" + tag, m.getOrElse(ne, ne))
-      } ++ e.relations.map { case (s, p, o) =>
-        Triple(m.getOrElse(s, s), p, m.getOrElse(o, o))
-      }
-    }
+    // shared triple vocabulary with the batch path — KGPipeline.triplesOf
+    // is the single definition, so batch and stream can never drift
+    extractionStream(turns, cfg).flatMap(e => graft.kg.KGPipeline.triplesOf(e, bc.value))
   }
 
   /** One mention string's current canonical entity assignment. */

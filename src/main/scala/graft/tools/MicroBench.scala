@@ -26,9 +26,13 @@ object MicroBench {
     val cfg = TranscriptGen.Config(nConvs = nConvs)
     work(0, 2000, cfg) // warmup
     val t0 = System.nanoTime()
-    val chunk = nConvs / threads
+    // balanced ranges covering ALL of nConvs (a floor-division chunk
+    // dropped nConvs % threads convs while still dividing by nConvs,
+    // overstating convs/sec whenever nConvs wasn't a thread multiple)
     val ts = (0 until threads).map { i =>
-      val th = new Thread(() => { work(i * chunk, (i + 1) * chunk, cfg): Unit })
+      val from = i * nConvs / threads
+      val until = (i + 1) * nConvs / threads
+      val th = new Thread(() => { work(from, until, cfg): Unit })
       th.start(); th
     }
     ts.foreach(_.join())
