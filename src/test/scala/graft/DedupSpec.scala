@@ -148,6 +148,20 @@ class DedupSpec extends AnyFunSuite {
     assert(cappedRaw.size < 5000)
   }
 
+  test("null-text documents degrade to empty-shingle docs, never NPE the verify stage") {
+    import spark.implicits._
+    // nulls sketch to the empty set, share every band key and DO reach
+    // the verify join — it must score them, not crash
+    val docs = Seq((1L, null: String), (2L, null: String), (3L, "the quick brown fox jumps"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashNearDups(docs, "doc_id", "text", 0.0)
+      .collect().map(p => (p.a, p.b)).toSet
+    assert(pairs.contains((1L, 2L)), s"null-text pair must surface: $pairs")
+    val ngram = Dedup.ngramJaccardNearDups(docs, "doc_id", "text", 3, 0.0)
+      .collect().map(p => (p.a, p.b)).toSet
+    assert(ngram.contains((1L, 2L)))
+  }
+
   test("minhash clusters assign one row per doc, copies share clusters") {
     val clusters = Dedup.minhashClusters(docsDF, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -44,6 +44,20 @@ class PromptTechniquesSpec extends AnyFunSuite {
       List(("Alice", "PERSON")))
   }
 
+  test("repeated surfaces round-trip once through markup techniques (no nested re-marking)") {
+    val forms = Vector(("Paris", "x", "GPE"))
+    val m = new Scorer.Matcher(forms)
+    val cfg = TranscriptGen.Config(nConvs = 1, scorerNoisePerMille = 0)
+    // "Paris is Paris": two occurrences → two findMentions entries; a
+    // second fold pass over the same surface used to re-match inside
+    // the markup (@@@@Paris####) and emit the garbage mention "@@Paris"
+    for (tech <- Seq(PromptTechniques.Wrapper, PromptTechniques.AtAt)) {
+      val rs = PromptTechniques.respond(tech, m, "c0", 0, "Paris is Paris", cfg)
+      assert(PromptTechniques.parse(tech, rs) == List(("Paris", "GPE")),
+        s"$tech: $rs")
+    }
+  }
+
   test("malformed responses degrade to empty across techniques") {
     PromptTechniques.All.foreach { tech =>
       val junk = Seq(("None", "{[(<"), ("stage1", "xx"), ("stage2", "yy"),
