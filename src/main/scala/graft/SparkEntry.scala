@@ -159,6 +159,14 @@ object SparkEntry {
         .collect().map { case (id, v) => (id, v.toArray) } // constant-size query set
       operators.Ann.lshTopK(e, "vec_id", "embedding", queries, k = 10).toDF()
     }),
+    "ann_ivf_topk" -> ((s, dir) => {
+      import s.implicits._
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val queries = e.filter(org.apache.spark.sql.functions.col("vec_id") < 5)
+        .select("vec_id", "embedding").as[(Long, Seq[Float])]
+        .collect().map { case (id, v) => (id, v.toArray) } // constant-size query set
+      operators.Ann.ivfTopK(e, "vec_id", "embedding", queries, k = 10).toDF()
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -88,6 +88,129 @@ object Ann {
     bits
   }
 
+  /** Deterministic driver-local Lloyd's k-means over a bounded sample
+    * of UNIT vectors: init = first k sample vectors (the sample is
+    * content-hash-ordered, so init is pseudo-random but reproducible),
+    * assignment by max dot product (≡ cosine on unit vectors), update
+    * = renormalized mean, empty cluster keeps its centroid. */
+  private[operators] def kmeansUnit(sample: Array[Array[Float]], kLists: Int,
+                                    iters: Int): Array[Array[Double]] = {
+    def unit(v: Array[Float]): Array[Double] = {
+      var n = 0.0; var i = 0
+      while (i < v.length) { n += v(i) * v(i); i += 1 }
+      val inv = if (n == 0) 0.0 else 1.0 / math.sqrt(n)
+      v.map(_ * inv)
+    }
+    val pts = sample.map(unit)
+    var cents = pts.take(math.min(kLists, pts.length)).map(_.clone())
+    (0 until iters).foreach { _ =>
+      val sums = Array.fill(cents.length)(new Array[Double](pts.headOption.map(_.length).getOrElse(0)))
+      val counts = new Array[Long](cents.length)
+      pts.foreach { p =>
+        val c = nearestCentroid(p, cents)
+        counts(c) += 1
+        var j = 0
+        while (j < p.length) { sums(c)(j) += p(j); j += 1 }
+      }
+      cents = cents.zipWithIndex.map { case (old, c) =>
+        if (counts(c) == 0) old
+        else {
+          var n = 0.0; var j = 0
+          while (j < sums(c).length) { n += sums(c)(j) * sums(c)(j); j += 1 }
+          val inv = if (n == 0) 0.0 else 1.0 / math.sqrt(n)
+          sums(c).map(_ * inv)
+        }
+      }
+    }
+    cents
+  }
+
+  private[operators] def nearestCentroid(v: Array[Double], cents: Array[Array[Double]]): Int = {
+    var best = 0; var bestDot = Double.NegativeInfinity; var c = 0
+    while (c < cents.length) {
+      val row = cents(c)
+      var dot = 0.0; var j = 0
+      val n = math.min(v.length, row.length)
+      while (j < n) { dot += v(j) * row(j); j += 1 }
+      if (dot > bestDot) { bestDot = dot; best = c }
+      c += 1
+    }
+    best
+  }
+
+  private def unitF(v: Array[Float]): Array[Double] = {
+    var n = 0.0; var i = 0
+    while (i < v.length) { n += v(i) * v(i); i += 1 }
+    val inv = if (n == 0) 0.0 else 1.0 / math.sqrt(n)
+    v.map(_ * inv)
+  }
+
+  /** IVF (inverted-file) ANN — the coarse-quantizer scale path next to
+    * [[lshTopK]]: train a small deterministic k-means codebook on a
+    * bounded content-hash-ordered sample (one bounded collect — the
+    * codebook, like a few-shot pool, is a frozen small artifact
+    * relative to the corpus), then one narrow scan pass in which each
+    * vector computes its inverted-list id and is exact-cosine-rescored
+    * ONLY against queries probing that list (each query probes its
+    * `nProbe` nearest centroids). No per-pair row explosion reaches
+    * the shuffle — identical shape to lshTopK with learned buckets,
+    * which track the data distribution instead of random hyperplanes. */
+  def ivfTopK(embeddings: DataFrame, idCol: String, vecCol: String,
+              queries: Array[(Long, Array[Float])], k: Int,
+              nLists: Int = 16, nProbe: Int = 4, sampleSize: Int = 1024,
+              iters: Int = 5, seed: Long = 42L): Dataset[Neighbor] = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+
+    // bounded, deterministic training sample (content-hash order)
+    val sample = embeddings
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+      .orderBy(xxhash64(col("id"), lit(seed)), col("id"))
+      .limit(sampleSize)
+      .as[(Long, Seq[Float])]
+      .collect().map(x => toArr(x._2))
+    val cents = kmeansUnit(sample, nLists, iters)
+
+    // query → probed lists (nProbe nearest centroids per query)
+    val queryLists: Map[Int, Array[(Long, Array[Float])]] = queries
+      .flatMap { case (qid, qv) =>
+        val u = unitF(qv)
+        cents.indices
+          .map(c => (c, {
+            var dot = 0.0; var j = 0
+            val n = math.min(u.length, cents(c).length)
+            while (j < n) { dot += u(j) * cents(c)(j); j += 1 }
+            dot
+          }))
+          .sortBy { case (c, d) => (-d, c) }
+          .take(nProbe)
+          .map { case (c, _) => (c, (qid, qv)) }
+      }
+      .groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2) }
+    val bcQ = spark.sparkContext.broadcast(queryLists)
+    val bcC = spark.sparkContext.broadcast(cents)
+
+    val partial = embeddings
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+      .as[(Long, Seq[Float])]
+      .mapPartitions { it =>
+        val cs = bcC.value
+        val ql = bcQ.value
+        it.flatMap { case (id, v) =>
+          val arr = toArr(v)
+          ql.getOrElse(nearestCentroid(unitF(arr), cs), Array.empty[(Long, Array[Float])]).collect {
+            case (qid, qv) if qid != id => Neighbor(qid, id, StringSim.cosine(arr, qv))
+          }
+        }
+      }
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id"))
+    partial.toDF()
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("query_id", "vec_id", "sim")
+      .as[Neighbor]
+  }
+
   /** LSH-bucketed ANN: hyperplane signature buckets + multi-probe,
     * exact cosine rescoring only inside probed buckets, then top-k. */
   def lshTopK(embeddings: DataFrame, idCol: String, vecCol: String,

@@ -39,6 +39,27 @@ class AnnSpec extends AnyFunSuite {
     }
   }
 
+  test("ivfTopK finds the true top-1 for near-duplicate queries (learned coarse quantizer)") {
+    val got = Ann.ivfTopK(embDF, "vec_id", "embedding", queries, k = 5,
+      nLists = 8, nProbe = 3, sampleSize = 300)
+      .collect().groupBy(_.query_id)
+    val hits = queries.count { case (qid, _) =>
+      got.get(qid).exists(_.exists(_.vec_id == qid - 1000L))
+    }
+    info(s"ivf top-1 recall: $hits/10")
+    assert(hits >= 8, s"only $hits/10 true neighbors found")
+    // scores are exact cosines (rescored inside probed lists)
+    got.values.flatten.foreach { n =>
+      val expected = StringSim.cosine(
+        vectors(n.vec_id.toInt)._2, queries.find(_._1 == n.query_id).get._2)
+      assert(math.abs(n.sim - expected) < 1e-12)
+    }
+    // determinism: identical output across invocations
+    val again = Ann.ivfTopK(embDF, "vec_id", "embedding", queries, k = 5,
+      nLists = 8, nProbe = 3, sampleSize = 300).collect().toSet
+    assert(again == got.values.flatten.toSet)
+  }
+
   test("lshTopK finds the true top-1 for near-duplicate queries") {
     val got = Ann.lshTopK(embDF, "vec_id", "embedding", queries, k = 5)
       .collect().groupBy(_.query_id)
