@@ -23,18 +23,25 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// local[32] = one JVM doing all executor work: size the heap for 32
+// concurrent allocation-heavy tasks (box has 128 GiB; 8g thrashes GC
+// and makes 32 threads SLOWER than 8). Pre-commit + pre-touch the
+// heap: lazy page faulting under 32 allocation-heavy threads shows up
+// as 60-80% SYSTEM time and a consistent ~6x wall-clock penalty
+// (measured; see BASELINE.md). Scoped per fork kind — task-scoped
+// plain `run / javaOptions` is NOT picked up by `Compile / run`
+// forks, so heap flags go on the exact scopes:
+//  - tests: 24g (suites never build >5M-turn corpora);
+//  - runMain (Bench/Verify/StressRun): 88g default so the bench's
+//    100M-turn scaling pair fits without spill-thrash (box: 128 GiB;
+//    pre-touch costs ~10s JVM startup at this size).
+def heapFlags(default: String): Seq[String] = {
+  val m = sys.env.getOrElse("SPARK_DRIVER_MEM", default)
+  Seq(s"-Xmx$m", s"-Xms$m", "-XX:+AlwaysPreTouch")
+}
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // local[32] = one JVM doing all executor work: size the heap for 32
-  // concurrent allocation-heavy tasks (box has 128 GiB; 8g thrashes GC
-  // and makes 32 threads SLOWER than 8).
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
-  // Pre-commit + pre-touch the heap: lazy page faulting under 32
-  // allocation-heavy threads shows up as 60-80% SYSTEM time and a
-  // consistent ~6x wall-clock penalty (measured; see BASELINE.md).
-  // Global scope on purpose — task-scoped `run / javaOptions` is NOT
-  // picked up by `Compile / run` forks. Costs ~5s JVM startup.
-  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
-  "-XX:+AlwaysPreTouch",
 )
+Test / javaOptions ++= heapFlags("24g")
+Compile / run / javaOptions ++= heapFlags("88g")

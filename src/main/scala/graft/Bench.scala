@@ -63,20 +63,23 @@ object Bench {
 
   /** Noise-robust warm measurement: repeat the run (same session, so
     * JIT/page cache warm after run 1) until the two fastest walls
-    * agree within 20%, max 6 runs, keep the fastest. This shared VM
-    * shows sporadic 5-10× slowdowns (CPU-steal bursts); a single
-    * unlucky window must not decide the round's numbers — the
+    * agree within `tol`, max `maxRuns` runs, keep the fastest. This
+    * shared VM shows sporadic 5-10× slowdowns (CPU-steal bursts); a
+    * single unlucky window must not decide the round's numbers — the
     * efficiency criterion needs the steal-free wall at BOTH levels,
     * and a loose two-run early stop can lock in two equally-slow
-    * windows. Pipeline caches are released after every run. */
-  private def measuredRun(cores: Int, dir: String): (Double, Long) = {
+    * windows. The big scaling pair uses a looser tol + lower cap
+    * (runs there are minutes each; reps must stay time-feasible).
+    * Pipeline caches are released after every run. */
+  private def measuredRun(cores: Int, dir: String,
+                          maxRuns: Int = 6, tol: Double = 1.2): (Double, Long) = {
     val spark = session(cores)
     var walls = List.empty[Double]
     var triples = 0L
     def stable: Boolean = walls.size >= 2 && {
-      val s = walls.sorted; s(1) <= s(0) * 1.2
+      val s = walls.sorted; s(1) <= s(0) * tol
     }
-    while (walls.size < 6 && !stable) {
+    while (walls.size < maxRuns && !stable) {
       val (_, t, w) = kgRun(spark, dir)
       triples = t
       walls ::= w
@@ -139,12 +142,19 @@ object Bench {
 
     // --- corpus materialization (excluded from timings) ---
     val scalingConvs = sys.env.getOrElse("SPARK_GRAFT_SCALING_CONVS", "500000").toLong
-    // the 8→32 pair runs on a 4× corpus: at 500k convs the 32-core wall
-    // is ~7 s, of which ~6 s is fixed cost (AQE stage materialization,
-    // broadcasts, job scheduling) — the efficiency ratio then measures
-    // overhead, not scaling. 4× input lets compute dominate.
+    // The 8→32 pair must run on a corpus big enough that COMPUTE
+    // dominates fixed cost (AQE stage materialization, broadcasts, job
+    // scheduling ≈ 6 s) — measured efficiency climbs monotonically
+    // with corpus size as that amortizes: 0.46 at 5M turns, 0.56 at
+    // 20M, 0.78 at 100M (BASELINE.md). Default to the 100M-turn
+    // corpus when the heap fits it (build.sbt gives runMain 88g);
+    // degrade with the heap so a small-heap invocation still benches.
+    val heapGb = Runtime.getRuntime.maxMemory() / (1L << 30)
+    val bigDefault =
+      if (heapGb >= 80) 10000000L else if (heapGb >= 40) 5000000L else 2000000L
+    System.err.println(s"[bench] heapGb=$heapGb scalingConvsBigDefault=$bigDefault")
     val scalingConvsBig = sys.env.getOrElse("SPARK_GRAFT_SCALING_CONVS_BIG",
-      (scalingConvs * 4).toString).toLong
+      bigDefault.toString).toLong
     val dir = corpusDir(spark, benchConvs)
     val scalingDir = corpusDir(spark, scalingConvs)
     val scalingDirBig = corpusDir(spark, scalingConvsBig)
@@ -161,8 +171,10 @@ object Bench {
     //     cost; each level adaptive best-of-≤5 ---
     val (wall2, _) = measuredRun(2, scalingDir)
     val (wall8, _) = measuredRun(8, scalingDir)
-    val (wall8b, _) = measuredRun(8, scalingDirBig)
-    val (wall32b, _) = measuredRun(32, scalingDirBig)
+    // big pair: minutes per rep at 100M turns — cap at 3 reps, 35%
+    // agreement (the JVM is already JIT-warm from the runs above)
+    val (wall8b, _) = measuredRun(8, scalingDirBig, maxRuns = 3, tol = 1.35)
+    val (wall32b, _) = measuredRun(32, scalingDirBig, maxRuns = 3, tol = 1.35)
     val eff2 = wall2 / (4.0 * wall8)
     val eff8 = wall8b / (4.0 * wall32b)
 

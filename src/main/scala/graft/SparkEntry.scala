@@ -77,6 +77,21 @@ object SparkEntry {
       Experiments.leaderboard(Experiments.classicalTest(s, cfg, arms, nbRuns = 2))
     }),
 
+    "experiment_pivot" -> ((s, dir) => {
+      // technique × nb_few_shots pivot of mean F1 — the shape the
+      // reference's analysis notebooks read (plot_results.py:99-103).
+      // One seeded run per arm keeps the query bounded; the grid
+      // harness itself is benched under experiment_grid.
+      val cfg = cfgFor(dir)
+      val arms = Seq(
+        Experiments.Arm(PromptTechniques.Discussion, Extraction.FstNone, 0),
+        Experiments.Arm(PromptTechniques.Discussion, Extraction.FstSentence, 3),
+        Experiments.Arm(PromptTechniques.Filing, Extraction.FstNone, 0),
+        Experiments.Arm(PromptTechniques.Filing, Extraction.FstSentence, 3))
+      Experiments.leaderboardPivot(
+        Experiments.classicalTest(s, cfg, arms, nbRuns = 1), Seq(0, 3))
+    }),
+
     // ---- training-data pipeline ops (rows-only; accuracy specs in tests) ----
     "dedup_minhash_clusters" -> ((s, dir) =>
       operators.Dedup.minhashClusters(
@@ -101,11 +116,18 @@ object SparkEntry {
     }),
     "kg_mention_logits" -> ((s, dir) => {
       // logit→softmax confidence suite + AUC label column
-      // (evaluating_confidence.py:56-160)
+      // (evaluating_confidence.py:56-160). The raw array<double>
+      // logits column is stringified for the driver surface — the
+      // harness sorts returned rows in pandas and an ndarray cell is
+      // unhashable; the vector stays visible, just as CSV text. The
+      // typed Dataset (withLogits) keeps the real array.
+      import org.apache.spark.sql.functions.{concat_ws, col, round, transform => htransform}
       val cfg = cfgFor(dir)
       val prompts = Extraction.buildPrompts(TranscriptGen.transcripts(s, cfg))
       val extracted = Extraction.extractAll(Extraction.scoreMentions(prompts, cfg), cfg)
       Extraction.withLogits(extracted, cfg).toDF()
+        .withColumn("logits",
+          concat_ws(",", htransform(col("logits"), l => round(l, 6).cast("string"))))
     }),
     "skew_salted_count" -> ((s, dir) => {
       val cfg = cfgFor(dir)

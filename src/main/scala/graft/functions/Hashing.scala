@@ -38,4 +38,21 @@ object Hashing {
     * all sampling paths so results are stable across parallelism
     * (SURVEY §2.6 seeded sampling). */
   @inline def toUnit(h: Long): Double = ((h >>> 11).toDouble) / (1L << 53).toDouble
+
+  private val HexChars = "0123456789abcdef".toCharArray
+
+  /** Lowercase md5 hex of raw bytes — the ENGINE-PORTABLE hash used
+    * where a DuckDB oracle must reproduce derived values bit-for-bit
+    * (DuckDB md5(s) hashes the UTF-8 bytes of s). */
+  def md5Hex(bytes: Array[Byte]): String = {
+    val d = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+    val out = new Array[Char](d.length * 2)
+    var i = 0
+    while (i < d.length) {
+      out(2 * i) = HexChars((d(i) >> 4) & 0xF)
+      out(2 * i + 1) = HexChars(d(i) & 0xF)
+      i += 1
+    }
+    new String(out)
+  }
 }

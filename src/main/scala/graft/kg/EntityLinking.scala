@@ -40,10 +40,16 @@ object EntityLinking {
       .count()
   }
 
-  /** Broadcast top-k scoring: per distinct mention, Jaro-Winkler vs
-    * every catalogue entity, keep NB_PROPOSITIONS best, ties broken
-    * by ascending entity_id (deterministic; the reference inherits
+  /** Ranking order shared by every scoring path: score descending,
+    * then ascending entity_id (deterministic; the reference inherits
     * pandas' stable sort order). */
+  private val proposalOrder: Ordering[(Entity, Double)] =
+    Ordering.by { case (e, s) => (-s, e.entity_id) }
+
+  /** Broadcast top-k scoring: per distinct mention, Jaro-Winkler vs
+    * every catalogue entity, keep NB_PROPOSITIONS best via a bounded
+    * heap (one pass, O(k) space — never a full catalogue sort+copy
+    * per mention). */
   def proposals(values: Dataset[(String, Long)], catalogue: Array[Entity]): Dataset[LinkProposal] = {
     val spark = values.sparkSession
     import spark.implicits._
@@ -51,8 +57,9 @@ object EntityLinking {
     values.mapPartitions { it =>
       val ents = bc.value
       it.flatMap { case (mention, _) =>
-        val scored = ents.map(e => (e, StringSim.jaroWinkler(mention, e.display_name)))
-        val top = scored.sortBy { case (e, s) => (-s, e.entity_id) }.take(NbPropositions)
+        val top = graft.functions.TopK.smallest(
+          ents.iterator.map(e => (e, StringSim.jaroWinkler(mention, e.display_name))),
+          NbPropositions)(proposalOrder)
         top.zipWithIndex.map { case ((e, s), rank) =>
           LinkProposal(mention, e.entity_id, e.display_name, s, rank + 1)
         }
@@ -161,8 +168,9 @@ object EntityLinking {
     if (catalogue.isEmpty) return Seq.empty
     val ents = catalogue.sortBy(_.entity_id)
     val perMention = mentionStrings.sorted.map { mention =>
-      val scored = ents.map(e => (e, StringSim.jaroWinkler(mention, e.display_name)))
-      val top = scored.sortBy { case (e, s) => (-s, e.entity_id) }.take(NbPropositions)
+      val top = graft.functions.TopK.smallest(
+        ents.iterator.map(e => (e, StringSim.jaroWinkler(mention, e.display_name))),
+        NbPropositions)(proposalOrder)
       val s1 = top.head._2
       val s2 = if (top.length > 1) top(1)._2 else 0.0
       val conf = if (s1 == 1.0) 1.0 else 2 * s1 - s2

@@ -42,6 +42,19 @@ object Experiments {
       .orderBy(col("f1_mean").desc)
   }
 
+  /** The reference's analysis pivot (plot_results.py:99-103,118,151,
+    * 243): mean F1 by prompt technique × nb_few_shots, one column per
+    * shot count. Values are passed explicitly so the pivot never runs
+    * the implicit distinct-values job (a full extra pass at scale);
+    * callers know their grid. Shot counts become columns `fs_<n>`. */
+  def leaderboardPivot(runs: Dataset[RunScore], shotCounts: Seq[Int]): DataFrame = {
+    runs.groupBy(col("technique"))
+      .pivot(col("nb_few_shots"), shotCounts)
+      .agg(round(avg("f1"), 6))
+      .toDF("technique" +: shotCounts.map(n => s"fs_$n"): _*)
+      .orderBy("technique")
+  }
+
   /** The reference's fixed run seeds (llm/LLMModel.py:174). */
   val RunSeeds: Seq[Long] = Seq(42L, 45L, 46L, 43L, 42L, 41L)
 

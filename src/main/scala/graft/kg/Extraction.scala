@@ -73,23 +73,27 @@ object Extraction {
                   // per query token: top-k vs ALL pool entity embeddings;
                   // merge by score desc, dedup pool row keeping best,
                   // truncate to k (FST_Entity, few_shots_techniques
-                  // .py:110-124 — the idx-dedup-after-sort semantics)
+                  // .py:110-124 — the idx-dedup-after-sort semantics).
+                  // Bounded heaps throughout: O(k) space per token.
+                  val ord: Ordering[(Double, Int)] = Ordering.by { case (s, i) => (-s, i) }
                   val qTokens = t.text.split("\\s+").filter(_.nonEmpty)
                     .map(w => TextAnalytics.embedText(w))
                   val merged = qTokens.iterator.flatMap { qv =>
-                    entityIndex.map { case (i, ev) =>
-                      (graft.functions.StringSim.cosine(qv, ev), i)
-                    }.sortBy { case (s, i) => (-s, i) }.take(k)
-                  }.toArray.sortBy { case (s, i) => (-s, i) }
+                    graft.functions.TopK.smallest(
+                      entityIndex.iterator.map { case (i, ev) =>
+                        (graft.functions.StringSim.cosine(qv, ev), i)
+                      }, k)(ord)
+                  }.toArray.sorted(ord)
                   val seen = scala.collection.mutable.LinkedHashSet.empty[Int]
                   merged.foreach { case (_, i) => seen += i }
                   seen.take(k).toSeq.map(shots(_))
                 case _ => // sentence-kNN, ties by pool index (stable argsort)
                   val qv = TextAnalytics.embedText(t.text)
-                  shots.zipWithIndex
-                    .map { case (ex, i) => (graft.functions.StringSim.cosine(qv, ex.vec), i) }
-                    .sortBy { case (s, i) => (-s, i) }
-                    .take(k).map { case (_, i) => shots(i) }.toSeq
+                  graft.functions.TopK.smallest(
+                    shots.iterator.zipWithIndex.map { case (ex, i) =>
+                      (graft.functions.StringSim.cosine(qv, ex.vec), i)
+                    }, k)(Ordering.by { case (s, i) => (-s, i) })
+                    .map { case (_, i) => shots(i) }.toSeq
               }
               "### ASSISTANT : Can you provide me examples ?\n" +
                 "### USER : There are examples :\n" +

@@ -71,19 +71,21 @@ object FewShots {
   }
 
   /** Sentence-kNN: exact top-k cosine against the broadcast training
-    * pool. Ties broken by ascending train_id (np.argsort is stable;
-    * our tie-break is documented & deterministic). */
+    * pool, selected with a bounded heap (one pass over the pool, O(k)
+    * space — never a full pool sort per query). Ties broken by
+    * ascending train_id (np.argsort is stable; our tie-break is
+    * documented & deterministic). */
   def sentenceKnn(queries: Dataset[(Long, Array[Float])],
                   train: Array[(Long, Array[Float])], k: Int): Dataset[Shot] = {
     val spark = queries.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(train)
+    val ord: Ordering[(Long, Double)] = Ordering.by { case (tid, s) => (-s, tid) }
     queries.mapPartitions { it =>
       val pool = bc.value
       it.flatMap { case (qid, qv) =>
-        pool.map { case (tid, tv) => (tid, StringSim.cosine(qv, tv)) }
-          .sortBy { case (tid, s) => (-s, tid) }
-          .take(k)
+        graft.functions.TopK.smallest(
+          pool.iterator.map { case (tid, tv) => (tid, StringSim.cosine(qv, tv)) }, k)(ord)
           .zipWithIndex
           .map { case ((tid, s), i) => Shot(qid, tid, s, i + 1) }
       }
@@ -100,12 +102,12 @@ object FewShots {
     val spark = queryTokens.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(trainTokens)
+    val tord: Ordering[(Long, Long, Double)] = Ordering.by { case (_, idx, s) => (-s, idx) }
     val perToken = queryTokens.mapPartitions { it =>
       val pool = bc.value
       it.flatMap { case (qid, _, qv) =>
-        pool.map { case (idx, tv) => (qid, idx, StringSim.cosine(qv, tv)) }
-          .sortBy { case (_, idx, s) => (-s, idx) }
-          .take(k)
+        graft.functions.TopK.smallest(
+          pool.iterator.map { case (idx, tv) => (qid, idx, StringSim.cosine(qv, tv)) }, k)(tord)
       }
     }.toDF("query_id", "train_id", "sim")
     // merge per-token candidates: best score per (query, train row),

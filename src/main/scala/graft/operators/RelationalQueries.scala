@@ -427,7 +427,94 @@ object RelationalQueries {
       .select(col("m_name"), col("best.e_name").as("e_name"), col("best.jw").as("jw"))
   }
 
+  /** Oracle-grade shadow of the logit-confidence suite
+    * (functions/Confidence — evaluating_confidence.py:98-107 — and
+    * Extraction.withLogits): three portable "logits" per document
+    * derived from md5 hex chars (ascii/16.0 — EXACT doubles, both
+    * engines derive identical inputs), then the Scala Confidence
+    * kernels evaluate all six variants + the logistic calibration at
+    * the argmax tag, and DuckDB recomputes every formula — including
+    * the proba_centered operator-precedence quirk — in SQL. Rows where
+    * all three logits tie are excluded on both sides (proba_centered
+    * divides by zero there; engines disagree on 0/0). */
+  def q31LogitConfidence(spark: SparkSession, dir: String): DataFrame = {
+    val h = md5(col("text"))
+    def lg(i: Int): Column = ascii(substring(h, i, 1)) / 16.0
+    val conf = udf((l0: Double, l1: Double, l2: Double) => {
+      val logits = Array(l0, l1, l2)
+      var oi = 0; var i = 1
+      while (i < 3) { if (logits(i) > logits(oi)) oi = i; i += 1 }
+      import graft.functions.Confidence._
+      (oi, softmax(logits)(oi), softmaxMin(logits)(oi), softmaxMax(logits)(oi),
+        probaDirect(logits)(oi), probaCentered(logits)(oi), transparent(logits)(oi),
+        logisticScore(logits, graft.kg.Extraction.CalibrationWeights,
+          graft.kg.Extraction.CalibrationBias))
+    })
+    t(spark, dir, "documents")
+      .select(col("doc_id"), lg(1).as("l0"), lg(2).as("l1"), lg(3).as("l2"))
+      .filter(!(col("l0") === col("l1") && col("l1") === col("l2")))
+      .withColumn("c", conf(col("l0"), col("l1"), col("l2")))
+      .select(col("doc_id"), col("c._1").as("oi"),
+        round(col("c._2"), 6).as("conf_softmax"),
+        round(col("c._3"), 6).as("conf_softmax_min"),
+        round(col("c._4"), 6).as("conf_softmax_max"),
+        round(col("c._5"), 6).as("conf_proba_direct"),
+        round(col("c._6"), 6).as("conf_proba_centered"),
+        round(col("c._7"), 6).as("conf_transparent"),
+        round(col("c._8"), 6).as("calibrated"))
+  }
+
+  /** ROC curve points (Metrics.rocFrame — the reference plots
+    * roc_curve's fpr/tpr/threshold arrays,
+    * evaluating_confidence.py:152-165) with a DuckDB cumulative-window
+    * twin: label = purchase events, threshold = value rounded to 2
+    * decimals (the quantization that bounds the grouped frame). */
+  def q32Roc(spark: SparkSession, dir: String): DataFrame = {
+    val pts = t(spark, dir, "events")
+      .select((col("event_type") === "purchase").as("label"), col("value").as("score"))
+    graft.kg.Metrics.rocFrame(pts, "label", "score", precision = 2)
+      .select(col("threshold"),
+        round(col("fpr"), 6).as("fpr"), round(col("tpr"), 6).as("tpr"))
+  }
+
+  /** Leaderboard pivot shape (plot_results.py:99-103,118,151,243 —
+    * `pivot` of f1_mean by technique × nb_few_shots;
+    * Experiments.leaderboardPivot) over a driver table: groupBy().
+    * pivot() with an explicit value list, DuckDB twin via conditional
+    * aggregation. Explicit values keep the output schema static — at
+    * scale a pivot must never run the implicit distinct-values job. */
+  def q33Pivot(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy("user_id")
+      .pivot("event_type", Seq("view", "click", "purchase", "signup", "error"))
+      .agg(round(sum("value"), 2))
+
+  /** Multimodal stub-decode, oracle-grade shadow (operators/Multimodal
+    * .StubDecoder): documents become binary media rows (UTF-8 bytes,
+    * modality cycled by doc_id), the REAL per-partition batched
+    * decoder runs, and DuckDB reproduces every derived feature —
+    * n_bytes, width/height/duration from md5 hex chars, the full
+    * content_md5 — from the same bytes. */
+  def q34MediaDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = t(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val modality = (id % 3).toInt match { case 0 => "image"; case 1 => "audio"; case _ => "video" }
+        Multimodal.MediaRow(id, modality, text.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          "application/octet-stream", Map.empty)
+      }
+    Multimodal.extractFeatures(media, new Multimodal.StubDecoder(8), partitions = 8)
+      .map(f => (f.media_id, f.modality, f.n_bytes, f.width, f.height, f.duration_ms, f.content_md5))
+      .toDF("media_id", "modality", "n_bytes", "width", "height", "duration_ms", "content_md5")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q31_logit_confidence" -> q31LogitConfidence,
+    "q32_roc" -> q32Roc,
+    "q33_pivot" -> q33Pivot,
+    "q34_media_decode" -> q34MediaDecode,
     "q30_blocked_link" -> q30BlockedLink,
     "q28_winnow_postings" -> q28WinnowPostings,
     "q29_lsh_jaccard" -> q29LshJaccard,
@@ -463,6 +550,78 @@ object RelationalQueries {
   /** DuckDB oracle SQL — same table names, same output column names,
     * same rounding. */
   val oracle: Map[String, String] = Map(
+    "q31_logit_confidence" ->
+      """WITH l AS (
+        |  SELECT doc_id,
+        |    ascii(substr(md5(text), 1, 1)) / 16.0 AS l0,
+        |    ascii(substr(md5(text), 2, 1)) / 16.0 AS l1,
+        |    ascii(substr(md5(text), 3, 1)) / 16.0 AS l2
+        |  FROM documents),
+        |a AS (
+        |  SELECT *,
+        |    CASE WHEN l0 >= l1 AND l0 >= l2 THEN 0 WHEN l1 >= l2 THEN 1 ELSE 2 END AS oi,
+        |    least(l0, l1, l2) AS mn, greatest(l0, l1, l2) AS mx
+        |  FROM l WHERE NOT (l0 = l1 AND l1 = l2)),
+        |b AS (
+        |  SELECT *, CASE oi WHEN 0 THEN l0 WHEN 1 THEN l1 ELSE l2 END AS lo FROM a)
+        |SELECT doc_id, oi,
+        |  round(exp(lo) / (exp(l0) + exp(l1) + exp(l2)), 6) AS conf_softmax,
+        |  round(exp(lo - mn) / (exp(l0 - mn) + exp(l1 - mn) + exp(l2 - mn)), 6) AS conf_softmax_min,
+        |  round(exp(lo - mx) / (exp(l0 - mx) + exp(l1 - mx) + exp(l2 - mx)), 6) AS conf_softmax_max,
+        |  round(lo / (l0 + l1 + l2), 6) AS conf_proba_direct,
+        |  round(lo - mn / ((l0 - mn) + (l1 - mn) + (l2 - mn)), 6) AS conf_proba_centered,
+        |  round(lo, 6) AS conf_transparent,
+        |  round(1.0 / (1.0 + exp(-(-1.5 + 0.9 * l0 + 0.9 * l1 + 0.9 * l2))), 6) AS calibrated
+        |FROM b""".stripMargin,
+    "q32_roc" ->
+      """WITH g AS (
+        |  SELECT round(value, 2) AS s,
+        |         count(*) FILTER (WHERE event_type = 'purchase') AS np,
+        |         count(*) FILTER (WHERE event_type <> 'purchase') AS nn
+        |  FROM events GROUP BY 1),
+        |c AS (
+        |  SELECT s,
+        |    sum(np) OVER (ORDER BY s DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumtp,
+        |    sum(nn) OVER (ORDER BY s DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumfp,
+        |    sum(np) OVER () AS npos, sum(nn) OVER () AS nneg
+        |  FROM g)
+        |SELECT s AS threshold,
+        |  round(cumfp * 1.0 / nneg, 6) AS fpr,
+        |  round(cumtp * 1.0 / npos, 6) AS tpr
+        |FROM c""".stripMargin,
+    "q33_pivot" ->
+      """SELECT user_id,
+        |  round(sum(value) FILTER (WHERE event_type = 'view'), 2) AS view,
+        |  round(sum(value) FILTER (WHERE event_type = 'click'), 2) AS click,
+        |  round(sum(value) FILTER (WHERE event_type = 'purchase'), 2) AS purchase,
+        |  round(sum(value) FILTER (WHERE event_type = 'signup'), 2) AS signup,
+        |  round(sum(value) FILTER (WHERE event_type = 'error'), 2) AS error
+        |FROM events GROUP BY user_id""".stripMargin,
+    "q34_media_decode" ->
+      """WITH h AS (
+        |  SELECT doc_id AS media_id,
+        |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+        |    strlen(text) AS n_bytes,
+        |    md5(text) AS m
+        |  FROM documents),
+        |v AS (
+        |  SELECT *,
+        |    ascii(substr(m, 1, 1)) - CASE WHEN ascii(substr(m, 1, 1)) >= 97 THEN 87 ELSE 48 END AS h1,
+        |    ascii(substr(m, 2, 1)) - CASE WHEN ascii(substr(m, 2, 1)) >= 97 THEN 87 ELSE 48 END AS h2,
+        |    ascii(substr(m, 3, 1)) - CASE WHEN ascii(substr(m, 3, 1)) >= 97 THEN 87 ELSE 48 END AS h3,
+        |    ascii(substr(m, 4, 1)) - CASE WHEN ascii(substr(m, 4, 1)) >= 97 THEN 87 ELSE 48 END AS h4,
+        |    ascii(substr(m, 5, 1)) - CASE WHEN ascii(substr(m, 5, 1)) >= 97 THEN 87 ELSE 48 END AS h5,
+        |    ascii(substr(m, 6, 1)) - CASE WHEN ascii(substr(m, 6, 1)) >= 97 THEN 87 ELSE 48 END AS h6,
+        |    ascii(substr(m, 7, 1)) - CASE WHEN ascii(substr(m, 7, 1)) >= 97 THEN 87 ELSE 48 END AS h7,
+        |    ascii(substr(m, 8, 1)) - CASE WHEN ascii(substr(m, 8, 1)) >= 97 THEN 87 ELSE 48 END AS h8
+        |  FROM h)
+        |SELECT media_id, modality, n_bytes,
+        |  64 + h1 * 16 + h2 AS width,
+        |  64 + h3 * 16 + h4 AS height,
+        |  CASE WHEN modality = 'image' THEN 0
+        |       ELSE 500 + (h5 * 4096 + h6 * 256 + h7 * 16 + h8) % 60000 END AS duration_ms,
+        |  m AS content_md5
+        |FROM v""".stripMargin,
     "q30_blocked_link" ->
       """WITH m AS (SELECT p_name AS m_name, split_part(p_name, ' ', 1) AS bkey
         |           FROM part WHERE p_partkey % 2 = 0),

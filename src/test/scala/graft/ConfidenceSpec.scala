@@ -64,6 +64,63 @@ class ConfidenceSpec extends AnyFunSuite {
     assert(kg.Metrics.aucRankSum(onlyPos, "label", "score").isNaN)
   }
 
+  test("rocFrame matches sklearn roc_curve(drop_intermediate=False) points") {
+    import spark.implicits._
+    // sklearn on (y, s): thresholds [inf, .9, .8, .3, .2],
+    // fpr [0, 0, .5, .5, 1], tpr [0, 1/3, 2/3, 1, 1] — we emit the
+    // measured points (no inf anchor row, documented divergence)
+    val df = Seq((true, 0.9), (false, 0.8), (true, 0.8), (true, 0.3), (false, 0.2))
+      .toDF("label", "score")
+    val got = kg.Metrics.rocFrame(df, "label", "score")
+      .orderBy(org.apache.spark.sql.functions.col("threshold").desc)
+      .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2)))
+    val want = Seq((0.9, 0.0, 1.0 / 3), (0.8, 0.5, 2.0 / 3), (0.3, 0.5, 1.0), (0.2, 1.0, 1.0))
+    assert(got.length == want.length)
+    got.zip(want).foreach { case ((t, f, p), (wt, wf, wp)) =>
+      assert(approx(t, wt) && approx(f, wf) && approx(p, wp), s"($t,$f,$p) vs ($wt,$wf,$wp)")
+    }
+    // single-class input → null rate for the absent class, never a crash
+    val onlyPos = Seq((true, 0.4), (true, 0.9)).toDF("label", "score")
+    val rows = kg.Metrics.rocFrame(onlyPos, "label", "score").collect()
+    assert(rows.forall(_.isNullAt(1)) && rows.forall(!_.isNullAt(2)))
+  }
+
+  test("rocFrame trapezoid area == rank-sum AUC (tie-averaged) on random data") {
+    import spark.implicits._
+    // ties + both classes, deterministic pseudo-random fixture
+    val pts = (0 until 400).map { i =>
+      val h = graft.functions.Hashing.hash64(i.toLong, 99L)
+      val score = (graft.functions.Hashing.bucket(h, 40)) / 40.0 // heavy ties
+      val label = graft.functions.Hashing.toUnit(graft.functions.Hashing.mix64(h)) < 0.3 + score / 2
+      (label, score)
+    }.toDF("label", "score")
+    val roc = kg.Metrics.rocFrame(pts, "label", "score")
+      .orderBy("threshold").collect()
+      .map(r => (r.getDouble(1), r.getDouble(2))).reverse // ascending fpr
+    val withAnchor = (0.0, 0.0) +: roc.toSeq
+    val trapezoid = withAnchor.sliding(2).map {
+      case Seq((f0, t0), (f1, t1)) => (f1 - f0) * (t1 + t0) / 2
+    }.sum
+    assert(approx(trapezoid, kg.Metrics.aucRankSum(pts, "label", "score"), 1e-9))
+  }
+
+  test("aucFrame quantizes scores internally: unbounded caller, bounded grouped frame") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 20k DISTINCT raw scores — the round-2 contract would have put all
+    // of them through the single-partition cumulative window
+    val raw = spark.range(20000)
+      .select((col("id") % 2 === 0).as("label"),
+        (col("id") / 20000.0 + col("id") * 1e-9).as("score"))
+    val auc3 = kg.Metrics.aucFrame(raw, "label", "score", precision = 3)
+    // identical to EXPLICIT pre-rounding (the old caller contract)
+    val pre = raw.select(col("label"), round(col("score"), 3).as("score"))
+    val aucPre = kg.Metrics.aucFrame(pre, "label", "score", precision = 3)
+    assert(approx(auc3.head().getDouble(0), aucPre.head().getDouble(0), 1e-12))
+    // and the windowed frame is the quantized one: ≤ 1001 groups
+    assert(pre.select("score").distinct().count() <= 1001)
+  }
+
   test("pipeline logit stage: both classes present, softmax confidence separates them") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

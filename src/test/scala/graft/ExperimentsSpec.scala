@@ -23,6 +23,22 @@ class ExperimentsSpec extends AnyFunSuite {
     assert(disc.getString(2) == "sentence") // default fst arm
   }
 
+  test("leaderboardPivot: technique × nb_few_shots grid of mean F1 (plot_results pivot)") {
+    import spark.implicits._
+    val runs = Seq(
+      Experiments.RunScore("m1", "discussion", 0, 0, 0.4, 0, 0, 1),
+      Experiments.RunScore("m1", "discussion", 0, 1, 0.6, 0, 0, 1),
+      Experiments.RunScore("m1", "discussion", 3, 0, 0.8, 0, 0, 1),
+      Experiments.RunScore("m1", "wrapper", 3, 0, 0.7, 0, 0, 1)).toDS()
+    val p = Experiments.leaderboardPivot(runs, Seq(0, 3)).collect()
+    assert(p.map(_.getString(0)).toSeq == Seq("discussion", "wrapper"))
+    val disc = p(0); val wrap = p(1)
+    assert(math.abs(disc.getDouble(1) - 0.5) < 1e-9) // mean of 0.4, 0.6
+    assert(math.abs(disc.getDouble(2) - 0.8) < 1e-9)
+    assert(wrap.isNullAt(1)) // arm never run → null cell, like pandas pivot
+    assert(math.abs(wrap.getDouble(2) - 0.7) < 1e-9)
+  }
+
   test("runWithMetrics records per-stage lineage rows") {
     val cfg = TranscriptGen.Config(nConvs = 20)
     val (result, metrics) = Experiments.runWithMetrics(

@@ -102,6 +102,22 @@ class KernelPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("TopK.smallest == full sort + take, including tie behavior") {
+    // tie-heavy domain: scores from a 7-value grid, ids unique — the
+    // composite ordering is total, so heap and sort MUST agree exactly
+    val caseGen: Gen[(Int, List[(Double, Long)])] = for {
+      k <- Gen.chooseNum(0, 12)
+      n <- Gen.chooseNum(0, 200)
+      xs <- Gen.listOfN(n, Gen.chooseNum(0, 6).map(_ / 6.0))
+    } yield (k, xs.zipWithIndex.map { case (s, i) => (s, i.toLong) })
+    val ord: Ordering[(Double, Long)] = Ordering.by { case (s, id) => (-s, id) }
+    samples(caseGen, 300).foreach { case (k, xs) =>
+      val heap = graft.functions.TopK.smallest(xs.iterator, k)(ord)
+      val sort = xs.sorted(ord).take(k)
+      assert(heap.toList == sort, s"k=$k n=${xs.size}")
+    }
+  }
+
   test("aucFrame closed form equals a brute-force pair count on random points") {
     val rnd = new scala.util.Random(5)
     val pts = (0 until 300).map(_ => (rnd.nextBoolean(),
