@@ -35,13 +35,23 @@ val jdk17AddOpens = Seq(
 //  - runMain (Bench/Verify/StressRun): 88g default so the bench's
 //    100M-turn scaling pair fits without spill-thrash (box: 128 GiB;
 //    pre-touch costs ~10s JVM startup at this size).
-def heapFlags(default: String): Seq[String] = {
+// UseTransparentHugePages: the kernel here is THP=madvise, so the JVM
+// must madvise the heap to get 2M pages — 512× fewer first-touch
+// faults. AlwaysPreTouch is deliberately OFF for the big run heap:
+// this VM zeroes memory at ~200 MB/s, so pretouching 88g costs ~5-7
+// MINUTES of fork startup (measured); with Xms=Xmx the heap is
+// COMMITTED upfront (no lazy-commit GC growth, the round-1 pitfall)
+// and the one-time first-touch cost lands in the first warm-up run,
+// which every measurement protocol here discards. Tests keep the
+// cheap 24g pretouch.
+def heapFlags(default: String, preTouch: Boolean): Seq[String] = {
   val m = sys.env.getOrElse("SPARK_DRIVER_MEM", default)
-  Seq(s"-Xmx$m", s"-Xms$m", "-XX:+AlwaysPreTouch")
+  Seq(s"-Xmx$m", s"-Xms$m", "-XX:+UseTransparentHugePages") ++
+    (if (preTouch) Seq("-XX:+AlwaysPreTouch") else Seq.empty)
 }
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
 )
-Test / javaOptions ++= heapFlags("24g")
-Compile / run / javaOptions ++= heapFlags("88g")
+Test / javaOptions ++= heapFlags("24g", preTouch = true)
+Compile / run / javaOptions ++= heapFlags("88g", preTouch = false)

@@ -8,6 +8,24 @@ package graft.functions
   */
 object StringSim {
 
+  /** Per-thread match-flag scratch: the linking kernel scores
+    * |mentions|·|catalogue| pairs, and two fresh boolean arrays per
+    * pair (~30M allocations per q15-shaped join) were a measurable
+    * constant. Reused + prefix-cleared instead; semantics identical
+    * (StringSimSpec pins fixtures). */
+  private final class Scratch {
+    var m1 = new Array[Boolean](64)
+    var m2 = new Array[Boolean](64)
+    def sized(l1: Int, l2: Int): Unit = {
+      if (m1.length < l1) m1 = new Array[Boolean](Integer.highestOneBit(l1) * 2)
+      else java.util.Arrays.fill(m1, 0, l1, false)
+      if (m2.length < l2) m2 = new Array[Boolean](Integer.highestOneBit(l2) * 2)
+      else java.util.Arrays.fill(m2, 0, l2, false)
+    }
+  }
+  private val scratchTL: ThreadLocal[Scratch] =
+    ThreadLocal.withInitial(() => new Scratch)
+
   /** Jaro similarity (entityMatching.py:51 `jaro.jaro_metric`). */
   def jaro(s1: String, s2: String): Double = {
     val l1 = s1.length
@@ -15,8 +33,10 @@ object StringSim {
     if (l1 == 0 && l2 == 0) return 1.0
     if (l1 == 0 || l2 == 0) return 0.0
     val window = math.max(0, math.max(l1, l2) / 2 - 1)
-    val matched1 = new Array[Boolean](l1)
-    val matched2 = new Array[Boolean](l2)
+    val sc = scratchTL.get()
+    sc.sized(l1, l2)
+    val matched1 = sc.m1
+    val matched2 = sc.m2
     var matches = 0
     var i = 0
     while (i < l1) {
