@@ -35,23 +35,22 @@ val jdk17AddOpens = Seq(
 //  - runMain (Bench/Verify/StressRun): 88g default so the bench's
 //    100M-turn scaling pair fits without spill-thrash (box: 128 GiB;
 //    pre-touch costs ~10s JVM startup at this size).
-// UseTransparentHugePages: the kernel here is THP=madvise, so the JVM
-// must madvise the heap to get 2M pages — 512× fewer first-touch
-// faults. AlwaysPreTouch is deliberately OFF for the big run heap:
-// this VM zeroes memory at ~200 MB/s, so pretouching 88g costs ~5-7
-// MINUTES of fork startup (measured); with Xms=Xmx the heap is
-// COMMITTED upfront (no lazy-commit GC growth, the round-1 pitfall)
-// and the one-time first-touch cost lands in the first warm-up run,
-// which every measurement protocol here discards. Tests keep the
-// cheap 24g pretouch.
-def heapFlags(default: String, preTouch: Boolean): Seq[String] = {
+// 24g everywhere — the proven config. An 88g run-scope heap was tried
+// (round 3) to fit the 100M-turn scaling corpus fully in memory and
+// REGRESSED the same 5M-turn pipeline run 6× (36-44 s vs 6-11 s):
+// G1 at 88g plus lazy first-touch at this VM's ~200 MB/s zeroing rate
+// poisons warm walls for minutes, and pretouching 88g upfront costs
+// 5-9 min of fork startup (measured 316 s/565 s). The 100M-turn
+// pipeline runs fine at 24g — caches are MEMORY_AND_DISK and spill.
+// UseTransparentHugePages (kernel is THP=madvise): 2M heap pages,
+// 512× fewer first-touch faults, cheap pretouch.
+def heapFlags(default: String): Seq[String] = {
   val m = sys.env.getOrElse("SPARK_DRIVER_MEM", default)
-  Seq(s"-Xmx$m", s"-Xms$m", "-XX:+UseTransparentHugePages") ++
-    (if (preTouch) Seq("-XX:+AlwaysPreTouch") else Seq.empty)
+  Seq(s"-Xmx$m", s"-Xms$m", "-XX:+UseTransparentHugePages", "-XX:+AlwaysPreTouch")
 }
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
 )
-Test / javaOptions ++= heapFlags("24g", preTouch = true)
-Compile / run / javaOptions ++= heapFlags("88g", preTouch = false)
+Test / javaOptions ++= heapFlags("24g")
+Compile / run / javaOptions ++= heapFlags("24g")

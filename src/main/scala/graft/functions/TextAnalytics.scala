@@ -52,6 +52,10 @@ object TextAnalytics {
       "mi", "ho", "lo", "ha", "le", "si", "con", "non", "come", "del", "della",
       "gli", "al", "ma", "se", "questo", "questa", "più", "da", "nel"))
 
+  /** The English stopword list, sorted — public so the q36 oracle
+    * shadow embeds the identical list as SQL literals. */
+  val EnStopwords: Seq[String] = Stopwords("en").toSeq.sorted
+
   /** n-gram/stopword language-ID heuristic: argmax of stopword hit
     * ratio; "und" (undetermined) below a minimal evidence bar. */
   def langId(text: String): String = {

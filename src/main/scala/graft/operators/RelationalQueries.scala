@@ -510,7 +510,63 @@ object RelationalQueries {
       .toDF("media_id", "modality", "n_bytes", "width", "height", "duration_ms", "content_md5")
   }
 
+  /** Connected-components canonicalization, oracle-grade shadow of
+    * the north rule's core graph op (kg/Canonicalize — SURVEY §7.0
+    * step 6): a two-level star forest built portably from the events
+    * table (user → decade hub → century hub, the mention↔entity↔alias
+    * shape), run through the REAL distributed hash-min label-
+    * propagation loop (forceDistributed — the big-graph path a
+    * cluster exercises), while DuckDB reaches the same (vertex,
+    * min-reachable-label) fixpoint with a recursive CTE. Until now
+    * this family was spec-only. */
+  def q35ConnectedComponents(spark: SparkSession, dir: String): DataFrame = {
+    val u = t(spark, dir, "events").select(col("user_id")).distinct()
+    val e1 = u.select(
+      concat(lit("u:"), col("user_id")).as("src"),
+      concat(lit("c:"), floor(col("user_id") / 10).cast("long")).as("dst"))
+    val e2 = u.select(
+      concat(lit("c:"), floor(col("user_id") / 10).cast("long")).as("src"),
+      concat(lit("C:"), floor(col("user_id") / 100).cast("long")).as("dst")).distinct()
+    graft.kg.Canonicalize.connectedComponents(e1.union(e2), forceDistributed = true)
+  }
+
+  /** Text-quality scoring, oracle-grade shadow of the TextOps.profile
+    * family (TextAnalytics.quality — the cleaning pass generalizing
+    * ner/Datasets/utils.py:24-30): char-class ratios, stopword ratio,
+    * avg word length and the bounded 0..1 quality score, re-expressed
+    * with engine-portable regex/list primitives so DuckDB reproduces
+    * every column. ASCII classes on both sides. */
+  def q36TextQuality(spark: SparkSession, dir: String): DataFrame = {
+    val txt = col("text")
+    val n = length(txt)
+    val alpha = (n - length(regexp_replace(txt, "[A-Za-z]", ""))).cast("double")
+    val digit = (n - length(regexp_replace(txt, "[0-9]", ""))).cast("double")
+    val ws = (n - length(regexp_replace(txt, "\\s", ""))).cast("double")
+    val punct = n.cast("double") - alpha - digit - ws
+    val wordsArr = filter(split(lower(txt), "[^a-z]+"), x => x =!= "")
+    val stopLit = array(graft.functions.TextAnalytics.EnStopwords.map(lit): _*)
+    val nWords = size(wordsArr).cast("double")
+    val stopHits = size(filter(wordsArr, x => array_contains(stopLit, x))).cast("double")
+    val sumLen = aggregate(wordsArr, lit(0), (acc, x) => acc + length(x)).cast("double")
+    t(spark, dir, "documents")
+      .filter(n > 0)
+      .select(col("doc_id"), n.as("n_chars"), nWords.cast("long").as("n_words"),
+        round(alpha / n, 6).as("alpha_ratio"),
+        round(digit / n, 6).as("digit_ratio"),
+        round(punct / n, 6).as("punct_ratio"),
+        round(when(nWords === 0, 0.0).otherwise(stopHits / nWords), 6).as("stopword_ratio"),
+        round(when(nWords === 0, 0.0).otherwise(sumLen / nWords), 6).as("avg_word_len"),
+        round(greatest(lit(0.0), least(lit(1.0),
+          lit(0.35) * (alpha / n) +
+          lit(0.25) * least(lit(1.0), when(nWords === 0, 0.0).otherwise(stopHits / nWords) * 4) +
+          lit(0.20) * least(lit(1.0), nWords / 20.0) +
+          lit(0.20) * (lit(1.0) - least(lit(1.0), digit / n * 3 + punct / n * 2)))), 6)
+          .as("quality"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q35_connected_components" -> q35ConnectedComponents,
+    "q36_text_quality" -> q36TextQuality,
     "q31_logit_confidence" -> q31LogitConfidence,
     "q32_roc" -> q32Roc,
     "q33_pivot" -> q33Pivot,
@@ -549,7 +605,50 @@ object RelationalQueries {
 
   /** DuckDB oracle SQL — same table names, same output column names,
     * same rounding. */
+  private val enStopList: String =
+    graft.functions.TextAnalytics.EnStopwords.map(s => s"'$s'").mkString("[", ",", "]")
+
   val oracle: Map[String, String] = Map(
+    "q35_connected_components" ->
+      """WITH RECURSIVE
+        |u AS (SELECT DISTINCT user_id FROM events),
+        |e0 AS (
+        |  SELECT 'u:' || user_id AS src, 'c:' || (user_id // 10) AS dst FROM u
+        |  UNION
+        |  SELECT 'c:' || (user_id // 10) AS src, 'C:' || (user_id // 100) AS dst FROM u),
+        |edges AS (SELECT src, dst FROM e0 UNION SELECT dst AS src, src AS dst FROM e0),
+        |nodes AS (SELECT DISTINCT src AS node FROM edges),
+        |reach(node, label) AS (
+        |  SELECT node, node FROM nodes
+        |  UNION
+        |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node)
+        |SELECT node AS vertex, min(label) AS component FROM reach GROUP BY node""".stripMargin,
+    "q36_text_quality" ->
+      s"""WITH b AS (
+        |  SELECT doc_id, len(text) AS n,
+        |    CAST(len(text) - len(regexp_replace(text, '[A-Za-z]', '', 'g')) AS DOUBLE) AS alpha,
+        |    CAST(len(text) - len(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) AS digit,
+        |    CAST(len(text) - len(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) AS ws,
+        |    list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '') AS w
+        |  FROM documents WHERE len(text) > 0),
+        |c AS (
+        |  SELECT doc_id, n, alpha, digit, CAST(n AS DOUBLE) - alpha - digit - ws AS punct,
+        |    CAST(len(w) AS DOUBLE) AS n_words,
+        |    CAST(len(list_filter(w, x -> list_contains($enStopList, x))) AS DOUBLE) AS stop_hits,
+        |    CAST(list_sum(list_transform(w, x -> len(x))) AS DOUBLE) AS sum_len
+        |  FROM b)
+        |SELECT doc_id, n AS n_chars, CAST(n_words AS BIGINT) AS n_words,
+        |  round(alpha / n, 6) AS alpha_ratio,
+        |  round(digit / n, 6) AS digit_ratio,
+        |  round(punct / n, 6) AS punct_ratio,
+        |  round(CASE WHEN n_words = 0 THEN 0.0 ELSE stop_hits / n_words END, 6) AS stopword_ratio,
+        |  round(CASE WHEN n_words = 0 THEN 0.0 ELSE sum_len / n_words END, 6) AS avg_word_len,
+        |  round(greatest(0.0, least(1.0,
+        |    0.35 * (alpha / n) +
+        |    0.25 * least(1.0, (CASE WHEN n_words = 0 THEN 0.0 ELSE stop_hits / n_words END) * 4) +
+        |    0.20 * least(1.0, n_words / 20.0) +
+        |    0.20 * (1.0 - least(1.0, digit / n * 3 + punct / n * 2)))), 6) AS quality
+        |FROM c""".stripMargin,
     "q31_logit_confidence" ->
       """WITH l AS (
         |  SELECT doc_id,
