@@ -11,6 +11,20 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass forked output through UNPREFIXED: by default sbt logs the
+// forked process's stdout as "[info] ..." lines, which breaks any
+// line-oriented JSON consumer of `sbt runMain graft.Bench` (every
+// round's BENCH artifact recorded parsed:null — the driver never
+// recognized the prefixed JSON line). StdoutOutput inherits this
+// JVM's stdout/stderr directly, so Bench's JSON lines reach the
+// caller byte-for-byte.
+outputStrategy := Some(StdoutOutput)
+Compile / run / outputStrategy := Some(StdoutOutput)
+// ... and keep Bench's final JSON line the LAST stdout line: the
+// trailing "[success] Total time: ..." banner would otherwise follow
+// it (fatal to a parse-the-last-line consumer).
+Global / showSuccess := false
+Global / excludeLintKeys ++= Set(showSuccess, outputStrategy)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
@@ -30,11 +44,7 @@ val jdk17AddOpens = Seq(
 // as 60-80% SYSTEM time and a consistent ~6x wall-clock penalty
 // (measured; see BASELINE.md). Scoped per fork kind — task-scoped
 // plain `run / javaOptions` is NOT picked up by `Compile / run`
-// forks, so heap flags go on the exact scopes:
-//  - tests: 24g (suites never build >5M-turn corpora);
-//  - runMain (Bench/Verify/StressRun): 88g default so the bench's
-//    100M-turn scaling pair fits without spill-thrash (box: 128 GiB;
-//    pre-touch costs ~10s JVM startup at this size).
+// forks, so heap flags go on the exact scopes.
 // 24g everywhere — the proven config. An 88g run-scope heap was tried
 // (round 3) to fit the 100M-turn scaling corpus fully in memory and
 // REGRESSED the same 5M-turn pipeline run 6× (36-44 s vs 6-11 s):
