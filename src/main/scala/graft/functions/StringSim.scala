@@ -14,13 +14,20 @@ object StringSim {
     * constant. Reused + prefix-cleared instead; semantics identical
     * (StringSimSpec pins fixtures). */
   private final class Scratch {
+    // retained capacity is capped: one pathological long string must
+    // not pin a huge array on every executor thread that saw it for
+    // the thread's lifetime — above the cap the arrays are allocated
+    // fresh for that call and the retained pair shrinks back
+    private val MaxRetained = 4096
     var m1 = new Array[Boolean](64)
     var m2 = new Array[Boolean](64)
     def sized(l1: Int, l2: Int): Unit = {
-      if (m1.length < l1) m1 = new Array[Boolean](Integer.highestOneBit(l1) * 2)
+      if (m1.length < l1) m1 = new Array[Boolean](math.min(Integer.highestOneBit(l1) * 2, math.max(l1, MaxRetained)))
       else java.util.Arrays.fill(m1, 0, l1, false)
-      if (m2.length < l2) m2 = new Array[Boolean](Integer.highestOneBit(l2) * 2)
+      if (m2.length < l2) m2 = new Array[Boolean](math.min(Integer.highestOneBit(l2) * 2, math.max(l2, MaxRetained)))
       else java.util.Arrays.fill(m2, 0, l2, false)
+      if (m1.length > MaxRetained && l1 <= MaxRetained) m1 = new Array[Boolean](MaxRetained)
+      if (m2.length > MaxRetained && l2 <= MaxRetained) m2 = new Array[Boolean](MaxRetained)
     }
   }
   private val scratchTL: ThreadLocal[Scratch] =
@@ -135,7 +142,15 @@ object StringSim {
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     val n = math.min(a.length, b.length)
-    while (i < n) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+    // promote each operand BEFORE the multiply: a float-precision
+    // product then widened loses ~1e-7 relative vs the all-double
+    // math every SQL engine (Spark SQL, DuckDB list_cosine_similarity)
+    // does on the same floats — kept bit-compatible so kernel-path
+    // results agree with SQL-path oracles at any rounding precision
+    while (i < n) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
     if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
   }
 }

@@ -56,6 +56,22 @@ object Metrics {
     prfFromCounts(counts.map { case ((t, p), c) => (t, p, c) })
   }
 
+  /** The labeled (y_true × y_pred) count matrix AS A FRAME — the
+    * structure get_metrics/show_cm_multi consume
+    * (ner/process_results.py:70-116, plotted :24-55). Until round 4
+    * the counts existed only as the bounded driver-side collect
+    * inside [[weightedPRF]]; this exposes the same single
+    * distributed groupBy as a queryable Dataset (pivot to the square
+    * matrix via q33's explicit-values pattern when needed). */
+  def confusionFrame(pairs: Dataset[(String, String)]): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    pairs.toDF("y_true", "y_pred")
+      .groupBy("y_true", "y_pred")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+  }
+
   def prfFromCounts(counts: Seq[(String, String, Long)]): PRF = {
     val byTrue = counts.groupBy(_._1).map { case (l, cs) => l -> cs.map(_._3).sum }
     val byPred = counts.groupBy(_._2).map { case (l, cs) => l -> cs.map(_._3).sum }

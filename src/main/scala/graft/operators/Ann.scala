@@ -216,11 +216,27 @@ object Ann {
   def lshTopK(embeddings: DataFrame, idCol: String, vecCol: String,
               queries: Array[(Long, Array[Float])], k: Int,
               planes: Int = 10, probes: Int = 11, seed: Long = 42L): Dataset[Neighbor] = {
+    val dim = if (queries.nonEmpty) queries(0)._2.length else 0
+    lshTopKWith(embeddings, idCol, vecCol, queries, k,
+      planeMatrix(planes, dim, seed), probes)
+  }
+
+  /** The same bucketed kernel with an INJECTED plane matrix and
+    * optional pre-ranking sim rounding — the oracle-portable surface:
+    * q37 feeds a matrix both engines derive from md5 hex (so DuckDB
+    * reproduces bucket membership bit-for-bit) and rounds sims before
+    * ranking (so rank ties break identically across engines).
+    * `simPrecision < 0` keeps raw doubles (the production default). */
+  def lshTopKWith(embeddings: DataFrame, idCol: String, vecCol: String,
+                  queries: Array[(Long, Array[Float])], k: Int,
+                  mat: Array[Array[Double]], probes: Int,
+                  simPrecision: Int = -1): Dataset[Neighbor] = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-
-    val dim = if (queries.nonEmpty) queries(0)._2.length else 0
-    val mat = planeMatrix(planes, dim, seed)
+    val planes = mat.length
+    def quant(x: Double): Double =
+      if (simPrecision < 0) x
+      else BigDecimal(x).setScale(simPrecision, BigDecimal.RoundingMode.HALF_UP).toDouble
 
     // query → probed buckets (own + 1-bit flips, capped at `probes`)
     val queryBuckets: Map[Int, Array[(Long, Array[Float])]] = queries
@@ -241,7 +257,7 @@ object Ann {
         it.flatMap { case (id, v) =>
           val arr = toArr(v)
           qb.getOrElse(bucketOf(arr, m), Array.empty[(Long, Array[Float])]).collect {
-            case (qid, qv) if qid != id => Neighbor(qid, id, StringSim.cosine(arr, qv))
+            case (qid, qv) if qid != id => Neighbor(qid, id, quant(StringSim.cosine(arr, qv)))
           }
         }
       }

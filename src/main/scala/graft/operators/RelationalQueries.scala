@@ -564,7 +564,97 @@ object RelationalQueries {
           .as("quality"))
   }
 
+  /** Deterministic plane matrix BOTH engines can derive: entry(p,j) =
+    * hexval(first md5 hex char of "p:j") − 7.5 ∈ {−7.5..7.5}, exact
+    * in doubles. The production [[Ann.planeMatrix]] uses xxhash-mixed
+    * planes; this portable twin exists so q37 can oracle the SAME
+    * bucketed kernel ([[Ann.lshTopKWith]]) against DuckDB. */
+  private[operators] def portablePlanes(planes: Int, dim: Int): Array[Array[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(planes)(p => Array.tabulate(dim) { j =>
+      val nibble = (md.digest(s"$p:$j".getBytes("UTF-8"))(0) & 0xff) >>> 4
+      nibble - 7.5
+    })
+  }
+
+  /** Oracle shadow of the BUCKETED ANN path (Ann.lshTopK — the scale
+    * path next to q16's exact kNN; reference all-pairs cosine kNN at
+    * few_shots_techniques.py:71-81): the REAL lshTopKWith kernel runs
+    * with a portable md5-derived plane matrix (6 planes, multi-probe
+    * = own bucket + every 1-bit flip ⇒ candidates are exactly the
+    * signature pairs at hamming ≤ 1), and DuckDB recomputes bucket
+    * membership bit-for-bit and exact-rescores inside probed buckets.
+    * Sims round to 4 decimals BEFORE ranking on both sides so rank
+    * ties break identically. Closes the last rows-only family with no
+    * oracle-grade shadow (VERDICT r3 item 2). */
+  def q37LshAnn(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = t(spark, dir, "embeddings")
+    val queries = e.filter(col("vec_id") < 5)
+      .select("vec_id", "embedding").as[(Long, Seq[Float])]
+      .collect().map { case (id, v) => (id, v.toArray) } // constant-size query set
+    val dim = queries.headOption.map(_._2.length).getOrElse(0)
+    Ann.lshTopKWith(e, "vec_id", "embedding", queries, k = 10,
+      portablePlanes(6, dim), probes = 7, simPrecision = 4).toDF()
+  }
+
+  /** Portable pred/gold mention sets for the confusion-matrix family
+    * (q38/q39): events rows become (conv, turn, mention, tag) with
+    * deterministic drops (1/9 of gold missing from pred's view → FNs,
+    * 1/7 of pred unmatched → FPs) and a deterministic tag
+    * perturbation on multiples of 5 → off-diagonal mass. Both engines
+    * derive the exact same rows from integer arithmetic. */
+  private def alignedPairs(spark: SparkSession, dir: String) = {
+    import spark.implicits._
+    val tags = Seq("PER", "LOC", "ORG", "None")
+    val tagArr = array(tags.map(lit): _*)
+    val base = t(spark, dir, "events")
+      .select(col("user_id").cast("string").as("conv_id"),
+        (col("event_id") % 5).cast("int").as("turn_idx"),
+        concat(lit("m"), col("event_id") % 13).as("mention"),
+        col("event_id"))
+    def mentions(df: DataFrame, ti: Column) =
+      df.select(col("conv_id"), col("turn_idx"), col("mention"),
+        element_at(tagArr, ti.cast("int") + 1).as("tag")).as[graft.kg.Mention]
+    val gold = mentions(base.filter(col("event_id") % 9 =!= 0), col("event_id") % 4)
+    val pred = mentions(base.filter(col("event_id") % 7 =!= 0),
+      (col("event_id") % 4 + when(col("event_id") % 5 === 0, 1).otherwise(0)) % 4)
+    graft.kg.Metrics.align(pred, gold)
+  }
+
+  /** Confusion-matrix frame (ner/process_results.py:95-116 +
+    * show_cm_multi :24-34): the REAL dict-keyed full-outer alignment
+    * (Metrics.align cogroup) feeds Metrics.confusionFrame's single
+    * distributed groupBy; DuckDB reproduces the alignment relationally
+    * (max-tag dicts, sanitized pred list, gold anti-rows) and GROUPs.
+    * Puts the headline metric family's input under oracle (VERDICT r3
+    * item 3). */
+  def q38ConfusionMatrix(spark: SparkSession, dir: String): DataFrame =
+    graft.kg.Metrics.confusionFrame(alignedPairs(spark, dir))
+
+  /** Weighted P/R/F1 over the same aligned pairs — sklearn's
+    * average='weighted', zero_division=0 (process_results.py:113),
+    * computed BOTH ways the repo exposes it: Metrics.weightedPRF (the
+    * bounded count-matrix collect) and the distributed WeightedF1Agg
+    * Aggregator (UDAF surface), which must agree with each other and
+    * with DuckDB's relational recomputation to 1e-6 (VERDICT r3
+    * item 4). */
+  def q39WeightedPrf(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = alignedPairs(spark, dir).localCheckpoint() // two consumers, one alignment pass
+    val prf = graft.kg.Metrics.weightedPRF(pairs)
+    pairs.select((new graft.kg.Metrics.WeightedF1Agg).toColumn.name("f1_agg")).toDF("f1_agg")
+      .select(
+        round(lit(prf.precision), 6).as("precision"),
+        round(lit(prf.recall), 6).as("recall"),
+        round(lit(prf.f1), 6).as("f1"),
+        round(col("f1_agg"), 6).as("f1_agg"),
+        lit(prf.support).as("support"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q37_lsh_ann" -> q37LshAnn,
+    "q38_confusion_matrix" -> q38ConfusionMatrix,
+    "q39_weighted_prf" -> q39WeightedPrf,
     "q35_connected_components" -> q35ConnectedComponents,
     "q36_text_quality" -> q36TextQuality,
     "q31_logit_confidence" -> q31LogitConfidence,
@@ -606,9 +696,99 @@ object RelationalQueries {
   /** DuckDB oracle SQL — same table names, same output column names,
     * same rounding. */
   private val enStopList: String =
-    graft.functions.TextAnalytics.EnStopwords.map(s => s"'$s'").mkString("[", ",", "]")
+    graft.functions.TextAnalytics.EnStopwords
+      .map(s => "'" + s.replace("'", "''") + "'") // SQL-escape: list edits must not break the oracle
+      .mkString("[", ",", "]")
+
+  /** Shared alignment CTE chain for q38/q39 — the relational
+    * re-derivation of Metrics.align's per-(conv,turn) dict semantics:
+    * dicts = max(tag) per mention (align sorts then toMap → last tag
+    * wins), sanitized pred list keeps multiplicity, gold contributes
+    * the rows whose mention the sanitized dict lacks. */
+  private val cmCte: String =
+    """WITH base AS (
+      |  SELECT CAST(user_id AS VARCHAR) AS conv_id, event_id % 5 AS turn_idx,
+      |         'm' || (event_id % 13) AS mention, event_id
+      |  FROM events),
+      |tags(i, tag) AS (VALUES (0,'PER'),(1,'LOC'),(2,'ORG'),(3,'None')),
+      |gold AS (
+      |  SELECT b.conv_id, b.turn_idx, b.mention, t.tag
+      |  FROM base b JOIN tags t ON t.i = b.event_id % 4
+      |  WHERE b.event_id % 9 <> 0),
+      |pred AS (
+      |  SELECT b.conv_id, b.turn_idx, b.mention, t.tag
+      |  FROM base b JOIN tags t
+      |    ON t.i = (b.event_id % 4 + CASE WHEN b.event_id % 5 = 0 THEN 1 ELSE 0 END) % 4
+      |  WHERE b.event_id % 7 <> 0),
+      |pred_san AS (SELECT * FROM pred WHERE tag <> 'None'),
+      |results_nes AS (SELECT conv_id, turn_idx, mention, max(tag) AS ptag
+      |                FROM pred_san GROUP BY 1, 2, 3),
+      |gold_nes AS (SELECT conv_id, turn_idx, mention, max(tag) AS gtag
+      |             FROM gold GROUP BY 1, 2, 3),
+      |rows_all AS (
+      |  SELECT conv_id, turn_idx, mention FROM pred_san
+      |  UNION ALL
+      |  SELECT g.conv_id, g.turn_idx, g.mention FROM gold g
+      |  WHERE NOT EXISTS (SELECT 1 FROM results_nes r
+      |    WHERE r.conv_id = g.conv_id AND r.turn_idx = g.turn_idx
+      |      AND r.mention = g.mention)),
+      |cm AS (
+      |  SELECT coalesce(gn.gtag, 'None') AS y_true,
+      |         coalesce(pn.ptag, 'None') AS y_pred, count(*) AS n
+      |  FROM rows_all a
+      |  LEFT JOIN gold_nes gn ON gn.conv_id = a.conv_id
+      |    AND gn.turn_idx = a.turn_idx AND gn.mention = a.mention
+      |  LEFT JOIN results_nes pn ON pn.conv_id = a.conv_id
+      |    AND pn.turn_idx = a.turn_idx AND pn.mention = a.mention
+      |  GROUP BY 1, 2)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q37_lsh_ann" ->
+      """WITH sig AS (
+        |  SELECT vec_id, embedding,
+        |    (list_sum(list_transform(generate_series(0, 5), p ->
+        |      CASE WHEN list_sum(list_transform(generate_series(0, 63), j ->
+        |        embedding[j + 1]::DOUBLE *
+        |          ((ascii(substr(md5(p || ':' || j), 1, 1)) -
+        |            CASE WHEN ascii(substr(md5(p || ':' || j), 1, 1)) >= 97
+        |                 THEN 87 ELSE 48 END) - 7.5)
+        |      )) >= 0 THEN 1 << p ELSE 0 END)))::BIGINT AS bits
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, embedding AS qvec, bits AS qbits
+        |      FROM sig WHERE vec_id < 5),
+        |cand AS (
+        |  SELECT q.query_id, e.vec_id,
+        |    round(list_cosine_similarity(e.embedding::DOUBLE[], q.qvec::DOUBLE[]), 4) AS sim
+        |  FROM sig e, q
+        |  WHERE e.vec_id <> q.query_id AND bit_count(xor(e.bits, q.qbits)) <= 1),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |        ORDER BY sim DESC, vec_id) AS rn FROM cand)
+        |SELECT query_id, vec_id, sim FROM r WHERE rn <= 10""".stripMargin,
+    "q38_confusion_matrix" ->
+      s"$cmCte\nSELECT y_true, y_pred, n FROM cm",
+    "q39_weighted_prf" ->
+      s"""$cmCte,
+        |sup AS (SELECT y_true AS label, sum(n) AS support FROM cm GROUP BY 1),
+        |predt AS (SELECT y_pred AS label, sum(n) AS pred_total FROM cm GROUP BY 1),
+        |diag AS (SELECT y_true AS label, sum(n) AS tp FROM cm WHERE y_true = y_pred GROUP BY 1),
+        |per AS (
+        |  SELECT s.label, s.support::DOUBLE AS support,
+        |    coalesce(d.tp, 0)::DOUBLE AS tp, coalesce(p.pred_total, 0)::DOUBLE AS pt
+        |  FROM sup s LEFT JOIN diag d USING (label) LEFT JOIN predt p USING (label)),
+        |m AS (
+        |  SELECT support,
+        |    CASE WHEN pt = 0 THEN 0.0 ELSE tp / pt END AS p,
+        |    CASE WHEN support = 0 THEN 0.0 ELSE tp / support END AS r
+        |  FROM per),
+        |f AS (SELECT support, p, r,
+        |        CASE WHEN p + r = 0 THEN 0.0 ELSE 2 * p * r / (p + r) END AS f1
+        |      FROM m)
+        |SELECT round(sum(support * p) / sum(support), 6) AS precision,
+        |       round(sum(support * r) / sum(support), 6) AS recall,
+        |       round(sum(support * f1) / sum(support), 6) AS f1,
+        |       round(sum(support * f1) / sum(support), 6) AS f1_agg,
+        |       sum(support)::BIGINT AS support
+        |FROM f""".stripMargin,
     "q35_connected_components" ->
       """WITH RECURSIVE
         |u AS (SELECT DISTINCT user_id FROM events),
