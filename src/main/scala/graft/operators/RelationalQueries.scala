@@ -569,7 +569,7 @@ object RelationalQueries {
     * in doubles. The production [[Ann.planeMatrix]] uses xxhash-mixed
     * planes; this portable twin exists so q37 can oracle the SAME
     * bucketed kernel ([[Ann.lshTopKWith]]) against DuckDB. */
-  private[operators] def portablePlanes(planes: Int, dim: Int): Array[Array[Double]] = {
+  private[graft] def portablePlanes(planes: Int, dim: Int): Array[Array[Double]] = {
     val md = java.security.MessageDigest.getInstance("MD5")
     Array.tabulate(planes)(p => Array.tabulate(dim) { j =>
       val nibble = (md.digest(s"$p:$j".getBytes("UTF-8"))(0) & 0xff) >>> 4

@@ -75,4 +75,29 @@ class AnnSpec extends AnyFunSuite {
       assert(math.abs(n.sim - expected) < 1e-12)
     }
   }
+
+  test("lshTopKWith(injected planes) ≡ local bucketed recomputation (the q37 oracle kernel)") {
+    // the portable-matrix surface q37 oracles: same matrix here →
+    // candidate set must be EXACTLY the hamming≤1 signature pairs,
+    // ranked by half-up-rounded cosine then vec_id
+    val mat = graft.operators.RelationalQueries.portablePlanes(6, 32)
+    def bucket(v: Array[Float]): Int = {
+      mat.zipWithIndex.foldLeft(0) { case (bits, (row, p)) =>
+        val dot = row.indices.take(v.length).foldLeft(0.0)((a, j) => a + v(j) * row(j))
+        if (dot >= 0) bits | (1 << p) else bits
+      }
+    }
+    def q4(x: Double): Double = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val local = queries.flatMap { case (qid, qv) =>
+      val qb = bucket(qv)
+      vectors.filter { case (id, v) => id != qid && Integer.bitCount(bucket(v) ^ qb) <= 1 }
+        .map { case (id, v) => (qid, id, q4(StringSim.cosine(v, qv))) }
+        .sortBy { case (_, id, s) => (-s, id) }
+        .take(5)
+    }.toSet
+    val got = Ann.lshTopKWith(embDF, "vec_id", "embedding", queries, k = 5,
+      mat, probes = 7, simPrecision = 4)
+      .collect().map(n => (n.query_id, n.vec_id, n.sim)).toSet
+    assert(got == local, s"diff: ${(got diff local) ++ (local diff got)}")
+  }
 }

@@ -78,7 +78,7 @@ class KGPipelineSpec extends AnyFunSuite {
   }
 
   test("resumable triple sink: crash mid-write, resume, identical output") {
-    val dir = java.nio.file.Files.createTempDirectory("graft-triples").toString
+    val dir = SparkTestBase.scratchDir("graft-triples")
     val full = result.triples
     intercept[RuntimeException] {
       TableIO.writeTriples(full, dir, failAfterRanges = 2)

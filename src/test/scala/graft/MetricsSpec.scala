@@ -41,6 +41,23 @@ class MetricsSpec extends AnyFunSuite {
     assert(rows.toSeq == Seq(("None", "LOC"), ("ORG", "None"), ("PER", "PER")))
   }
 
+  test("confusionFrame ≡ weightedPRF's count matrix; WeightedF1Agg agrees distributed") {
+    val spark = SparkTestBase.spark
+    import spark.implicits._
+    val pairs = Seq(
+      ("PER", "PER"), ("PER", "ORG"), ("ORG", "ORG"), ("None", "PER"),
+      ("PER", "PER"), ("LOC", "None"), ("None", "None")).toDS().repartition(3)
+    val cm = Metrics.confusionFrame(pairs).as[(String, String, Long)].collect()
+    assert(cm.map(_._3).sum == 7)
+    assert(cm.map { case (t, p, n) => ((t, p), n) }.toMap.apply(("PER", "PER")) == 2)
+    val fromFrame = Metrics.prfFromCounts(cm.toIndexedSeq)
+    val direct = Metrics.weightedPRF(pairs)
+    assert(fromFrame == direct)
+    // the distributed Aggregator reaches the same weighted F1
+    val f1Agg = pairs.select((new Metrics.WeightedF1Agg).toColumn).head()
+    assert(approx(f1Agg, direct.f1))
+  }
+
   test("t confidence interval") {
     val (mean, lo, hi) = Metrics.tConfidenceInterval(Seq(0.4, 0.5, 0.6))
     assert(approx(mean, 0.5))
