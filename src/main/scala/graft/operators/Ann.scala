@@ -138,11 +138,37 @@ object Ann {
     best
   }
 
-  private def unitF(v: Array[Float]): Array[Double] = {
-    var n = 0.0; var i = 0
-    while (i < v.length) { n += v(i) * v(i); i += 1 }
-    val inv = if (n == 0) 0.0 else 1.0 / math.sqrt(n)
-    v.map(_ * inv)
+  /** cosine(float vec, double centroid) — promotes to double per term,
+    * accumulating left-to-right like the SQL engines' list kernels. */
+  private[operators] def cosineFD(v: Array[Float], c: Array[Double]): Double = {
+    var dot = 0.0; var nv = 0.0; var nc = 0.0; var j = 0
+    val n = math.min(v.length, c.length)
+    while (j < n) {
+      val x = v(j).toDouble; val y = c(j)
+      dot += x * y; nv += x * x; nc += y * y; j += 1
+    }
+    if (nv == 0 || nc == 0) 0.0 else dot / math.sqrt(nv * nc)
+  }
+
+  private def quantTo(x: Double, prec: Int): Double =
+    if (prec < 0) x
+    else BigDecimal(x).setScale(prec, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Inverted-list assignment by max COSINE affinity (≡ max dot on the
+    * unit centroids kmeansUnit emits), with optional rounding of the
+    * affinity before the argmax so an oracle engine computing the same
+    * cosine in its own operation order reaches the same list. Ties
+    * break toward the lower list id. */
+  private[operators] def listAffinities(v: Array[Float], cents: Array[Array[Double]],
+                                        prec: Int): Array[Double] =
+    cents.map(c => quantTo(cosineFD(v, c), prec))
+
+  private[operators] def nearestList(v: Array[Float], cents: Array[Array[Double]],
+                                     prec: Int): Int = {
+    val aff = listAffinities(v, cents, prec)
+    var best = 0; var c = 1
+    while (c < aff.length) { if (aff(c) > aff(best)) best = c; c += 1 }
+    best
   }
 
   /** IVF (inverted-file) ANN — the coarse-quantizer scale path next to
@@ -170,21 +196,33 @@ object Ann {
       .as[(Long, Seq[Float])]
       .collect().map(x => toArr(x._2))
     val cents = kmeansUnit(sample, nLists, iters)
+    ivfTopKWith(embeddings, idCol, vecCol, queries, k, cents, nProbe)
+  }
 
-    // query → probed lists (nProbe nearest centroids per query)
+  /** The same inverted-list kernel with an INJECTED codebook and
+    * optional rounding of (a) the assignment affinity before the
+    * argmax and (b) the rescoring sim before ranking — the oracle-
+    * portable surface, mirroring [[lshTopKWith]]: q40 feeds a codebook
+    * both engines derive from md5 hex, so DuckDB can reproduce list
+    * assignment, probe sets and in-list rescoring bit-for-bit.
+    * Affinity uses COSINE (≡ dot on [[kmeansUnit]]'s unit centroids),
+    * which any SQL engine has as a list primitive. Negative precisions
+    * keep raw doubles (the production default). */
+  def ivfTopKWith(embeddings: DataFrame, idCol: String, vecCol: String,
+                  queries: Array[(Long, Array[Float])], k: Int,
+                  cents: Array[Array[Double]], nProbe: Int,
+                  assignPrecision: Int = -1, simPrecision: Int = -1): Dataset[Neighbor] = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    def quant(x: Double): Double = quantTo(x, simPrecision)
+
+    // query → probed lists (nProbe highest-affinity centroids per query)
     val queryLists: Map[Int, Array[(Long, Array[Float])]] = queries
       .flatMap { case (qid, qv) =>
-        val u = unitF(qv)
-        cents.indices
-          .map(c => (c, {
-            var dot = 0.0; var j = 0
-            val n = math.min(u.length, cents(c).length)
-            while (j < n) { dot += u(j) * cents(c)(j); j += 1 }
-            dot
-          }))
-          .sortBy { case (c, d) => (-d, c) }
+        listAffinities(qv, cents, assignPrecision).zipWithIndex
+          .sortBy { case (a, c) => (-a, c) }
           .take(nProbe)
-          .map { case (c, _) => (c, (qid, qv)) }
+          .map { case (_, c) => (c, (qid, qv)) }
       }
       .groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2) }
     val bcQ = spark.sparkContext.broadcast(queryLists)
@@ -198,8 +236,8 @@ object Ann {
         val ql = bcQ.value
         it.flatMap { case (id, v) =>
           val arr = toArr(v)
-          ql.getOrElse(nearestCentroid(unitF(arr), cs), Array.empty[(Long, Array[Float])]).collect {
-            case (qid, qv) if qid != id => Neighbor(qid, id, StringSim.cosine(arr, qv))
+          ql.getOrElse(nearestList(arr, cs, assignPrecision), Array.empty[(Long, Array[Float])]).collect {
+            case (qid, qv) if qid != id => Neighbor(qid, id, quant(StringSim.cosine(arr, qv)))
           }
         }
       }

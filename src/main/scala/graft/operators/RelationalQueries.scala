@@ -598,6 +598,29 @@ object RelationalQueries {
       portablePlanes(6, dim), probes = 7, simPrecision = 4).toDF()
   }
 
+  /** Oracle shadow of the IVF coarse-quantizer path (Ann.ivfTopK —
+    * the learned-bucket scale twin of q37's hyperplane LSH; reference
+    * all-pairs cosine kNN at few_shots_techniques.py:71-81): the REAL
+    * [[Ann.ivfTopKWith]] kernel runs with a portable md5-derived
+    * 8-list codebook, cosine list-assignment rounded to 6 decimals
+    * before the argmax, 3 probed lists per query, and rescoring sims
+    * rounded to 4 decimals before ranking — DuckDB reproduces list
+    * assignment, probe sets and in-list rescoring from the same
+    * centroid literals. With q37 this puts BOTH bucketed ANN paths
+    * under oracle; only the k-means TRAINING stays Scala-side (the
+    * codebook is a frozen bounded artifact — injecting it is exactly
+    * how a production index ships). */
+  def q40IvfAnn(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = t(spark, dir, "embeddings")
+    val queries = e.filter(col("vec_id") < 5)
+      .select("vec_id", "embedding").as[(Long, Seq[Float])]
+      .collect().map { case (id, v) => (id, v.toArray) } // constant-size query set
+    val dim = queries.headOption.map(_._2.length).getOrElse(0)
+    Ann.ivfTopKWith(e, "vec_id", "embedding", queries, k = 10,
+      portablePlanes(8, dim), nProbe = 3, assignPrecision = 6, simPrecision = 4).toDF()
+  }
+
   /** Portable pred/gold mention sets for the confusion-matrix family
     * (q38/q39): events rows become (conv, turn, mention, tag) with
     * deterministic drops (1/9 of gold missing from pred's view → FNs,
@@ -653,6 +676,7 @@ object RelationalQueries {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q37_lsh_ann" -> q37LshAnn,
+    "q40_ivf_ann" -> q40IvfAnn,
     "q38_confusion_matrix" -> q38ConfusionMatrix,
     "q39_weighted_prf" -> q39WeightedPrf,
     "q35_connected_components" -> q35ConnectedComponents,
@@ -742,7 +766,46 @@ object RelationalQueries {
       |    AND pn.turn_idx = a.turn_idx AND pn.mention = a.mention
       |  GROUP BY 1, 2)""".stripMargin
 
+  /** q40's codebook as a SQL VALUES literal — the SAME
+    * [[portablePlanes]](8, 64) doubles the Scala kernel receives
+    * (entries are exact x.5 values; Double.toString is
+    * locale-independent). */
+  private val ivfCentLiterals: String =
+    portablePlanes(8, 64).zipWithIndex
+      .map { case (row, c) => s"($c, [${row.mkString(",")}]::DOUBLE[])" }
+      .mkString(", ")
+
   val oracle: Map[String, String] = Map(
+    "q40_ivf_ann" ->
+      s"""WITH cents(c, cv) AS (VALUES $ivfCentLiterals),
+        |aff AS (
+        |  SELECT e.vec_id, c.c,
+        |    round(list_cosine_similarity(e.embedding::DOUBLE[], c.cv), 6) AS a
+        |  FROM embeddings e, cents c),
+        |assign AS (
+        |  SELECT vec_id, c FROM (
+        |    SELECT vec_id, c,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY a DESC, c) AS rn
+        |    FROM aff) WHERE rn = 1),
+        |probes AS (
+        |  SELECT vec_id AS query_id, c FROM (
+        |    SELECT vec_id, c,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY a DESC, c) AS rn
+        |    FROM aff WHERE vec_id < 5) WHERE rn <= 3),
+        |cand AS (
+        |  SELECT p.query_id, s.vec_id
+        |  FROM probes p JOIN assign s USING (c)
+        |  WHERE s.vec_id <> p.query_id),
+        |scored AS (
+        |  SELECT cd.query_id, cd.vec_id,
+        |    round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 4) AS sim
+        |  FROM cand cd
+        |  JOIN embeddings e ON e.vec_id = cd.vec_id
+        |  JOIN embeddings q ON q.vec_id = cd.query_id)
+        |SELECT query_id, vec_id, sim FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY sim DESC, vec_id) AS rn FROM scored)
+        |WHERE rn <= 10""".stripMargin,
     "q37_lsh_ann" ->
       """WITH sig AS (
         |  SELECT vec_id, embedding,

@@ -100,4 +100,34 @@ class AnnSpec extends AnyFunSuite {
       .collect().map(n => (n.query_id, n.vec_id, n.sim)).toSet
     assert(got == local, s"diff: ${(got diff local) ++ (local diff got)}")
   }
+
+  test("ivfTopKWith(injected codebook) ≡ local inverted-list recomputation (the q40 oracle kernel)") {
+    // the portable-codebook surface q40 oracles: cosine list
+    // assignment rounded to 6 decimals before the argmax (tie → lower
+    // list id), candidates = vectors whose single assigned list is
+    // among the query's 3 probed lists, ranked by rounded cosine
+    val cents = graft.operators.RelationalQueries.portablePlanes(8, 32)
+    def quant(x: Double, p: Int): Double = BigDecimal(x).setScale(p, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def cosFD(v: Array[Float], c: Array[Double]): Double = {
+      val n = math.min(v.length, c.length)
+      var dot = 0.0; var nv = 0.0; var nc = 0.0
+      (0 until n).foreach { j => dot += v(j).toDouble * c(j); nv += v(j).toDouble * v(j); nc += c(j) * c(j) }
+      if (nv == 0 || nc == 0) 0.0 else dot / math.sqrt(nv * nc)
+    }
+    def affs(v: Array[Float]) = cents.map(c => quant(cosFD(v, c), 6))
+    def assigned(v: Array[Float]): Int = {
+      val a = affs(v); a.indices.minBy(i => (-a(i), i))
+    }
+    val local = queries.flatMap { case (qid, qv) =>
+      val probed = affs(qv).zipWithIndex.sortBy { case (a, c) => (-a, c) }.take(3).map(_._2).toSet
+      vectors.filter { case (id, v) => id != qid && probed(assigned(v)) }
+        .map { case (id, v) => (qid, id, quant(StringSim.cosine(v, qv), 4)) }
+        .sortBy { case (_, id, s) => (-s, id) }
+        .take(5)
+    }.toSet
+    val got = Ann.ivfTopKWith(embDF, "vec_id", "embedding", queries, k = 5,
+      cents, nProbe = 3, assignPrecision = 6, simPrecision = 4)
+      .collect().map(n => (n.query_id, n.vec_id, n.sim)).toSet
+    assert(got == local, s"diff: ${(got diff local) ++ (local diff got)}")
+  }
 }
