@@ -35,10 +35,8 @@ import graft.kg.{KGPipeline, TranscriptGen, Turn}
   */
 object Bench {
 
-  /** Locale-independent fixed-point formatting — the f"" interpolator
-    * uses the JVM default locale, which can emit ',' decimals. */
-  private def fmt(d: Double, digits: Int): String =
-    String.format(java.util.Locale.ROOT, s"%.${digits}f", Double.box(d))
+  /** Locale-independent fixed-point formatting (see [[BenchJson.fmt]]). */
+  private def fmt(d: Double, digits: Int): String = BenchJson.fmt(d, digits)
 
   /** Delete stale checkpoint/scratch dirs left by earlier (possibly
     * killed) JVMs — localCheckpoint data dies with its context, but
@@ -100,7 +98,7 @@ object Bench {
   private def confJson(cores: Int, bigCorpus: Boolean, heap: String, mode: String): String = {
     val parts = if (bigCorpus) bigPartitions(cores) else cores
     val split = if (bigCorpus) 32 else 8
-    s"""{"cores":$cores,"shuffle_partitions":$parts,"split_mb":$split,"heap":"$heap","mode":"$mode"}"""
+    BenchJson.confJson(cores, parts, split, heap, mode)
   }
 
   /** Generate-once corpus parquet (idempotent per size). */
@@ -402,22 +400,9 @@ object Bench {
       aborted = Some(s"$phase: ${Option(e.getMessage).getOrElse(e.getClass.getName).take(160)}")
     }
     def emit(): Unit = {
-      val total = qJson.map(_._2).getOrElse(0.0)
-      val qs = qJson.map(_._1).getOrElse("{}")
-      val scaling = (pair28, pair832) match {
-        case (None, None) => None
-        case _ => Some("{" + Seq(
-          pair28.map(p => s""""pair_2_8":$p"""),
-          pair832.map(p => s""""pair_8_32":$p""")).flatten.mkString(",") + "}")
-      }
-      val fields = Seq(
-        Some(s""""metric":"total","value":${fmt(total, 3)},"unit":"sec""""),
-        Some(s""""queries":$qs"""),
-        Some(s""""sf":"$sfDir""""),
-        kgJson.map(k => s""""kg":$k"""),
-        scaling.map(sc => s""""scaling":$sc"""),
-        aborted.map(a => s""""aborted":"${a.replace("\\", "/").replace("\"", "'")}"""")).flatten
-      println(fields.mkString("{", ",", "}"))
+      println(BenchJson.topLine(
+        qJson.map(_._2).getOrElse(0.0), qJson.map(_._1).getOrElse("{}"),
+        sfDir, kgJson, pair28, pair832, aborted))
       System.out.flush()
     }
 
@@ -467,7 +452,7 @@ object Bench {
     //     inside a hard deadline (the big-corpus child JVMs) shrinks
     //     its corpus by this factor: an honestly-recorded smaller
     //     corpus beats a child that times out with zero reps. ---
-    val windowQ = qJson.map(_._2 / 60.0).getOrElse(1.0)
+    val windowQ = BenchJson.windowQuality(qJson.map(_._2))
 
     // --- corpus materialization (excluded from per-phase timings but
     //     inside the wall budget) ---
@@ -493,8 +478,7 @@ object Bench {
     // child timed out with ZERO reps at 890 s in a 4.5× window, while
     // the same protocol completed first try in a clean one.
     val scalingConvsBig =
-      if (windowQ > 1.8) math.max(scalingConvs * 2, scalingConvsBig0 / 2)
-      else scalingConvsBig0
+      BenchJson.shrinkBigCorpus(windowQ, scalingConvs, scalingConvsBig0)
     if (scalingConvsBig != scalingConvsBig0)
       System.err.println(s"[bench] window_q=${fmt(windowQ, 2)} → big-pair corpus shrunk to $scalingConvsBig convs")
     var nTurns = 0L
@@ -512,17 +496,11 @@ object Bench {
 
     spark.stop()
 
-    def wallsJson(ws: Seq[Double]): String =
-      ws.map(w => fmt(w, 2)).mkString("[", ",", "]")
-
     // --- end-to-end KG throughput at full cores (warm, adaptive) ---
     try {
       val (kgWalls, kgTriples) = measuredRun(cpus, dir,
         budgetSec = math.max(60.0, math.min(remaining * 0.25, 180.0)))
-      val kgWall = kgWalls.min
-      val kgTput = kgTriples / kgWall
-      kgJson = Some(
-        s"""{"n_convs":$benchConvs,"n_turns":$nTurns,"triples":$kgTriples,"wall_sec":${fmt(kgWall, 2)},"triples_per_sec":${fmt(kgTput, 1)},"turns_per_sec":${fmt(nTurns / kgWall, 1)}}""")
+      kgJson = Some(BenchJson.kgThroughputJson(benchConvs, nTurns, kgTriples, kgWalls.min))
     } catch { case e: Throwable => fail("kg_throughput", e) }
     emit()
 
@@ -540,10 +518,11 @@ object Bench {
         budgetSec = b2, minRuns = minRuns))
       val ((walls8, _), steal8) = withSteal(measuredRun(8, scalingDir, maxRuns = 6, tol = 1.15,
         budgetSec = b2 / 4, minRuns = minRuns)) // ≈ same rep-count opportunity at 4× speed
-      val (wall2, wall8) = (walls2.min, walls8.min)
-      val eff2 = wall2 / (4.0 * wall8)
-      (eff2,
-        s"""{"n_convs":$scalingConvs,"wall_n_sec":${fmt(wall2, 2)},"wall_4n_sec":${fmt(wall8, 2)},"efficiency":${fmt(eff2, 3)},"attempt":$attempt,"walls_n":${wallsJson(walls2.reverse)},"walls_4n":${wallsJson(walls8.reverse)},"steal_pct_n":${fmt(steal2, 1)},"steal_pct_4n":${fmt(steal8, 1)},"conf_n":${confJson(2, bigCorpus = false, "parent", "inproc")},"conf_4n":${confJson(8, bigCorpus = false, "parent", "inproc")}}""")
+      val eff2 = walls2.min / (4.0 * walls8.min)
+      (eff2, BenchJson.pairJson(scalingConvs, walls2.reverse, walls8.reverse,
+        steal2, steal8,
+        confJson(2, bigCorpus = false, "parent", "inproc"),
+        confJson(8, bigCorpus = false, "parent", "inproc"), attempt))
     }
     var eff28 = 0.0
     try {
@@ -569,7 +548,7 @@ object Bench {
     // degraded window, the window demonstrably cleared by the bench's
     // end, and the retry then had only ~100 s left because the big
     // pair had consumed everything.
-    def retryReserve: Double = if (eff28 > 0 && eff28 < 0.8) 260.0 else 0.0
+    def retryReserve: Double = BenchJson.retryReserve(eff28)
     var big832ChildOk = false
     def smallCorpusFallbackPair(reason: String): Unit = {
       System.err.println(s"[bench] pair_8_32 falling back to small corpus: $reason")
@@ -577,9 +556,11 @@ object Bench {
         budgetSec = math.max(150.0, math.min(remaining * 0.5, 240.0)), minRuns = 3))
       val ((walls32s, _), steal32s) = withSteal(measuredRun(32, scalingDir, maxRuns = 5, tol = 1.15,
         budgetSec = math.max(80.0, math.min(remaining * 0.5, 120.0)), minRuns = 3))
-      val eff = walls8s.min / (4.0 * walls32s.min)
-      pair832 = Some(
-        s"""{"n_convs":$scalingConvs,"fallback":"small_corpus: ${reason.replace("\"", "'")}","wall_n_sec":${fmt(walls8s.min, 2)},"wall_4n_sec":${fmt(walls32s.min, 2)},"efficiency":${fmt(eff, 3)},"walls_n":${wallsJson(walls8s.reverse)},"walls_4n":${wallsJson(walls32s.reverse)},"steal_pct_n":${fmt(steal8s, 1)},"steal_pct_4n":${fmt(steal32s, 1)},"conf_n":${confJson(8, bigCorpus = false, "parent", "inproc_fallback")},"conf_4n":${confJson(32, bigCorpus = false, "parent", "inproc_fallback")}}""")
+      pair832 = Some(BenchJson.pairJson(scalingConvs,
+        walls8s.reverse, walls32s.reverse, steal8s, steal32s,
+        confJson(8, bigCorpus = false, "parent", "inproc_fallback"),
+        confJson(32, bigCorpus = false, "parent", "inproc_fallback"),
+        attempt = 1, fallback = Some(reason)))
     }
     // One big-pair attempt via per-level child JVMs. On a retry
     // (attempt 2) a partially-successful attempt must not clobber an
@@ -595,8 +576,9 @@ object Bench {
         tol = 1.12, budgetSec = budget32))
       // a kill between the two children must not lose the measured level
       r32.foreach { case (r, conf) =>
-        pair832 = Some(
-          s"""{"n_convs":$scalingConvsBig,"wall_4n_sec":${fmt(r.wall, 2)},"walls_4n":${wallsJson(r.walls)},"steal_pct_4n":${fmt(steal32, 1)},"conf_4n":$conf,"window_q":${fmt(windowQ, 2)},"attempt":$attempt,"partial":"n level pending"}""")
+        pair832 = Some(BenchJson.partialPairJson(scalingConvsBig,
+          if (r.walls.nonEmpty) r.walls else Seq(r.wall),
+          steal32, conf, windowQ, attempt))
         emit()
       }
       val (r8, steal8) = r32 match {
@@ -608,10 +590,11 @@ object Bench {
       }
       (r8, r32) match {
         case (Some((c8, conf8)), Some((c32, conf32))) =>
-          val eff8 = c8.wall / (4.0 * c32.wall)
           big832ChildOk = true
-          pair832 = Some(
-            s"""{"n_convs":$scalingConvsBig,"wall_n_sec":${fmt(c8.wall, 2)},"wall_4n_sec":${fmt(c32.wall, 2)},"efficiency":${fmt(eff8, 3)},"walls_n":${wallsJson(c8.walls)},"walls_4n":${wallsJson(c32.walls)},"steal_pct_n":${fmt(steal8, 1)},"steal_pct_4n":${fmt(steal32, 1)},"conf_n":$conf8,"conf_4n":$conf32,"window_q":${fmt(windowQ, 2)},"attempt":$attempt}""")
+          def ws(c: ChildResult) = if (c.walls.nonEmpty) c.walls else Seq(c.wall)
+          pair832 = Some(BenchJson.pairJson(scalingConvsBig,
+            ws(c8), ws(c32), steal8, steal32, conf8, conf32, attempt,
+            windowQ = Some(windowQ)))
         case _ if attempt == 1 =>
           smallCorpusFallbackPair(
             s"child_32=${r32.isDefined} child_8=${r8.isDefined}")

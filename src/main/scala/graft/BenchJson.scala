@@ -1,0 +1,117 @@
+package graft
+
+/** Pure builders for every JSON fragment `graft.Bench` emits, plus the
+  * scaling-phase decision functions, extracted so they are unit-testable:
+  * the bench line is the driver's ONLY performance artifact and it is
+  * hand-built string interpolation — a single unescaped quote or
+  * locale-formatted decimal silently kills the round's evidence (the
+  * r03 artifact died to exactly this class of fragility). BenchJsonSpec
+  * parses every builder's output with Jackson and covers the rare paths
+  * (fallback, partial, cold-N) that full bench runs almost never hit.
+  *
+  * Everything here is deterministic and side-effect free; `Bench.main`
+  * is the only caller besides the spec.
+  */
+object BenchJson {
+
+  /** Locale-independent fixed-point formatting — the f"" interpolator
+    * uses the JVM default locale, which can emit ',' decimals. */
+  def fmt(d: Double, digits: Int): String =
+    String.format(java.util.Locale.ROOT, s"%.${digits}f", Double.box(d))
+
+  def wallsJson(ws: Seq[Double]): String =
+    ws.map(w => fmt(w, 2)).mkString("[", ",", "]")
+
+  /** JSON-string-safe: the payloads here are exception messages and
+    * fallback reasons (never user data), so quotes degrade to
+    * apostrophes and backslashes to slashes rather than escaping —
+    * the value stays grep-able in the raw line. */
+  def jsonSafe(s: String): String = s.replace("\\", "/").replace("\"", "'")
+
+  /** The session conf a scaling level ran under, as a JSON object —
+    * the measured-tuning story (≥64 shuffle partitions + 32 MB splits
+    * are worth 2-7× at 100M turns, BASELINE.md) must be
+    * driver-visible data, not prose. */
+  def confJson(cores: Int, shufflePartitions: Int, splitMb: Int,
+               heap: String, mode: String): String =
+    s"""{"cores":$cores,"shuffle_partitions":$shufflePartitions,"split_mb":$splitMb,"heap":"$heap","mode":"$mode"}"""
+
+  def kgThroughputJson(nConvs: Long, nTurns: Long, triples: Long,
+                       wallSec: Double): String =
+    s"""{"n_convs":$nConvs,"n_turns":$nTurns,"triples":$triples,"wall_sec":${fmt(wallSec, 2)},"triples_per_sec":${fmt(triples / wallSec, 1)},"turns_per_sec":${fmt(nTurns / wallSec, 1)}}"""
+
+  /** One complete scaling pair. `wallsN`/`walls4n` are in rep order
+    * (rep 1 first); the headline walls are the per-level minima.
+    *  - `fallback`: reason string when this is the small-corpus
+    *    in-process fallback (quote-degraded, see [[jsonSafe]]);
+    *  - `windowQ`: the measured window-quality factor, recorded so the
+    *    number can be discounted against the window it ran in;
+    *  - a single-rep N level is rep-1 by definition — page-fault + JIT
+    *    warm-up is still in that wall, so the ratio OVERSTATES scaling;
+    *    `"n_cold":true` flags it discountable in place. */
+  def pairJson(nConvs: Long, wallsN: Seq[Double], walls4n: Seq[Double],
+               stealN: Double, steal4n: Double,
+               confN: String, conf4n: String, attempt: Int,
+               windowQ: Option[Double] = None,
+               fallback: Option[String] = None): String = {
+    val (wallN, wall4n) = (wallsN.min, walls4n.min)
+    val eff = wallN / (4.0 * wall4n)
+    val head = fallback.map(r => s""""fallback":"small_corpus: ${jsonSafe(r)}",""").getOrElse("")
+    val cold = if (wallsN.lengthCompare(2) < 0) ""","n_cold":true""" else ""
+    val wq = windowQ.map(q => s""","window_q":${fmt(q, 2)}""").getOrElse("")
+    s"""{"n_convs":$nConvs,$head"wall_n_sec":${fmt(wallN, 2)},"wall_4n_sec":${fmt(wall4n, 2)},"efficiency":${fmt(eff, 3)}$cold,"walls_n":${wallsJson(wallsN)},"walls_4n":${wallsJson(walls4n)},"steal_pct_n":${fmt(stealN, 1)},"steal_pct_4n":${fmt(steal4n, 1)},"conf_n":$confN,"conf_4n":$conf4n$wq,"attempt":$attempt}"""
+  }
+
+  /** The 4N level alone, recorded the moment it finishes — a kill
+    * between the two children must not lose the measured level. */
+  def partialPairJson(nConvs: Long, walls4n: Seq[Double], steal4n: Double,
+                      conf4n: String, windowQ: Double, attempt: Int): String =
+    s"""{"n_convs":$nConvs,"wall_4n_sec":${fmt(walls4n.min, 2)},"walls_4n":${wallsJson(walls4n)},"steal_pct_4n":${fmt(steal4n, 1)},"conf_4n":$conf4n,"window_q":${fmt(windowQ, 2)},"attempt":$attempt,"partial":"n level pending"}"""
+
+  /** The ONE output line: a complete superset snapshot of every phase
+    * finished so far (incremental re-emission — a kill can only lose
+    * un-run phases). */
+  def topLine(totalSec: Double, queriesJson: String, sfDir: String,
+              kg: Option[String], pair28: Option[String],
+              pair832: Option[String], aborted: Option[String]): String = {
+    val scaling = (pair28, pair832) match {
+      case (None, None) => None
+      case _ => Some("{" + Seq(
+        pair28.map(p => s""""pair_2_8":$p"""),
+        pair832.map(p => s""""pair_8_32":$p""")).flatten.mkString(",") + "}")
+    }
+    Seq(
+      Some(s""""metric":"total","value":${fmt(totalSec, 3)},"unit":"sec""""),
+      Some(s""""queries":$queriesJson"""),
+      Some(s""""sf":"$sfDir""""),
+      kg.map(k => s""""kg":$k"""),
+      scaling.map(sc => s""""scaling":$sc"""),
+      aborted.map(a => s""""aborted":"${jsonSafe(a)}"""")
+    ).flatten.mkString("{", ",", "}")
+  }
+
+  // ---- scaling-phase decisions ----------------------------------------
+
+  /** Window-quality factor: measured queries-phase wall over the
+    * clean-window nominal (~60 s for the full program at sf0.1). This
+    * VM's degraded windows are memory-bandwidth collapses invisible to
+    * /proc/stat steal, so the bench's own first phase is the only
+    * reliable probe. */
+  def windowQuality(queriesTotalSec: Option[Double], nominalSec: Double = 60.0): Double =
+    queriesTotalSec.map(_ / nominalSec).getOrElse(1.0)
+
+  /** Degraded-window corpus shrink for the big pair, floored at 2× the
+    * small corpus (below that the ratio measures fixed cost, not
+    * compute — the same bias the big corpus exists to remove). r04
+    * data: a 2M-conv 32-core child timed out with ZERO reps at 890 s
+    * in a 4.5× window, while the same protocol completed first try in
+    * a clean one. */
+  def shrinkBigCorpus(windowQ: Double, smallConvs: Long, bigConvs0: Long): Long =
+    if (windowQ > 1.8) math.max(smallConvs * 2, bigConvs0 / 2) else bigConvs0
+
+  /** Wall-budget headroom reserved ahead of the big pair so a
+    * sub-bar pair_2_8 can re-measure in a possibly-cleaner late
+    * window (~260 s fits a minRuns=2 symmetric pair). */
+  def retryReserve(eff28: Double): Double =
+    if (eff28 > 0 && eff28 < 0.8) 260.0 else 0.0
+}
