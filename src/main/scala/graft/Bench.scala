@@ -404,6 +404,9 @@ object Bench {
         qJson.map(_._2).getOrElse(0.0), qJson.map(_._1).getOrElse("{}"),
         sfDir, kgJson, pair28, pair832, aborted))
       System.out.flush()
+      // compact tail-surviving summary (stderr, prefixed — see BenchJson.headline)
+      System.err.println(BenchJson.headline(qJson.map(_._2), kgJson, pair28, pair832))
+      System.err.flush()
     }
 
     // --- headline queries at the driver's sf dir ---

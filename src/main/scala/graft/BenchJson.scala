@@ -90,6 +90,32 @@ object BenchJson {
     ).flatten.mkString("{", ",", "}")
   }
 
+  /** First numeric value of `name` in an emitted fragment — the
+    * headline summary re-reads its own output rather than threading
+    * every number through Bench.main's phase state. */
+  def numField(json: String, name: String): Option[String] =
+    ("\"" + java.util.regex.Pattern.quote(name) + "\":(-?[0-9][0-9.]*)").r
+      .findFirstMatchIn(json).map(_.group(1))
+
+  /** One short PREFIXED stderr line per emission: the driver keeps only
+    * the last ~2000 chars of output, and the full top line (54 query
+    * timings + scaling) is ~3 KB — front-clipped in that window. This
+    * line is compact enough to always survive in the tail, and the
+    * "[bench]" prefix keeps it invisible to any line-oriented JSON
+    * consumer of stdout. */
+  def headline(totalSec: Option[Double], kg: Option[String],
+               pair28: Option[String], pair832: Option[String]): String = {
+    val parts = Seq(
+      totalSec.map(t => s"queries_sec=${fmt(t, 1)}"),
+      kg.flatMap(numField(_, "triples_per_sec")).map(v => s"kg_triples_per_sec=$v"),
+      pair28.flatMap(numField(_, "efficiency")).map(v => s"pair_2_8_eff=$v"),
+      pair832.flatMap(numField(_, "efficiency")).map(v => s"pair_8_32_eff=$v"),
+      pair832.filter(_.contains("\"fallback\"")).map(_ => "pair_8_32_fallback=true"),
+      pair832.filter(_.contains("\"partial\"")).map(_ => "pair_8_32_partial=true")
+    ).flatten
+    "[bench] headline: " + (if (parts.isEmpty) "no phases completed" else parts.mkString(" "))
+  }
+
   // ---- scaling-phase decisions ----------------------------------------
 
   /** Window-quality factor: measured queries-phase wall over the

@@ -115,6 +115,27 @@ class BenchJsonSpec extends AnyFunSuite {
     assert(BenchJson.shrinkBigCorpus(3.0, 500000L, 1500000L) == 1000000L)
   }
 
+  test("headline: compact, prefixed, carries each completed phase's key number") {
+    val kg = BenchJson.kgThroughputJson(500000L, 4999935L, 8079496L, 7.12)
+    val p28 = BenchJson.pairJson(500000L, Seq(45.6, 46.0), Seq(12.5, 12.8),
+      0.0, 0.0, confN, conf4n, attempt = 1)
+    val p832 = BenchJson.pairJson(1000000L, Seq(112.1), Seq(33.0),
+      0.0, 0.0, confN, conf4n, attempt = 1, fallback = Some("child died"))
+    val h = BenchJson.headline(Some(44.21), Some(kg), Some(p28), Some(p832))
+    assert(h.startsWith("[bench] headline: "))
+    assert(h.contains("queries_sec=44.2"))
+    assert(h.contains("kg_triples_per_sec=1134760"))
+    assert(h.contains("pair_2_8_eff=0.912"))
+    assert(h.contains("pair_8_32_eff=0.849"))
+    assert(h.contains("pair_8_32_fallback=true"))
+    assert(h.length < 250) // must fit comfortably inside a 2000-char tail
+    // partial pair has no efficiency — flagged, not invented
+    val partial = BenchJson.partialPairJson(1000000L, Seq(99.6), 1.4, conf4n, 5.12, 1)
+    val h2 = BenchJson.headline(None, None, None, Some(partial))
+    assert(!h2.contains("pair_8_32_eff=") && h2.contains("pair_8_32_partial=true"))
+    assert(BenchJson.headline(None, None, None, None).endsWith("no phases completed"))
+  }
+
   test("retryReserve: reserved only for a measured sub-bar pair") {
     assert(BenchJson.retryReserve(0.0) == 0.0)   // unmeasured (pair failed)
     assert(BenchJson.retryReserve(0.398) == 260.0)
