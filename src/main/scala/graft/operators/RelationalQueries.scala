@@ -674,7 +674,27 @@ object RelationalQueries {
         lit(prf.support).as("support"))
   }
 
+  /** Gopher-style repetition signals over the documents table
+    * (TextOps.repetitionProfile) — the within-doc repetition gates a
+    * training-data pipeline runs before dedup. */
+  def q41Repetition(spark: SparkSession, dir: String): DataFrame =
+    TextOps.repetitionProfile(t(spark, dir, "documents"), "doc_id", "text").toDF()
+
+  /** Benchmark decontamination diagnostic
+    * (TextOps.contaminationStats): every 10th doc plays the eval set;
+    * word TRIgrams (n=3) so the synthetic vocabulary actually
+    * collides — production pipelines use n=8-13 via the same API. */
+  def q42Contamination(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    TextOps.contaminationStats(
+      docs.filter(col("doc_id") % 10 =!= 0),
+      docs.filter(col("doc_id") % 10 === 0),
+      "doc_id", "text", n = 3)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q41_repetition" -> q41Repetition,
+    "q42_contamination" -> q42Contamination,
     "q37_lsh_ann" -> q37LshAnn,
     "q40_ivf_ann" -> q40IvfAnn,
     "q38_confusion_matrix" -> q38ConfusionMatrix,
@@ -776,6 +796,61 @@ object RelationalQueries {
       .mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    "q41_repetition" ->
+      """WITH w0 AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '') AS w
+        |  FROM documents),
+        |b AS (SELECT doc_id, w, len(w) AS nw FROM w0),
+        |uni AS (
+        |  SELECT doc_id, count(DISTINCT x) AS du
+        |  FROM (SELECT doc_id, unnest(w) AS x FROM b) GROUP BY doc_id),
+        |g2 AS (
+        |  SELECT doc_id, max(c) AS mx2 FROM (
+        |    SELECT doc_id, g, count(*) AS c FROM (
+        |      SELECT doc_id, unnest(list_transform(generate_series(1, nw - 1),
+        |        i -> w[i] || ' ' || w[i + 1])) AS g FROM b)
+        |    GROUP BY doc_id, g) GROUP BY doc_id),
+        |g3 AS (
+        |  SELECT doc_id, max(c) AS mx3 FROM (
+        |    SELECT doc_id, g, count(*) AS c FROM (
+        |      SELECT doc_id, unnest(list_transform(generate_series(1, nw - 2),
+        |        i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS g FROM b)
+        |    GROUP BY doc_id, g) GROUP BY doc_id),
+        |g5 AS (
+        |  SELECT doc_id, sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup5 FROM (
+        |    SELECT doc_id, g, count(*) AS c FROM (
+        |      SELECT doc_id, unnest(list_transform(generate_series(1, nw - 4),
+        |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4])) AS g
+        |      FROM b)
+        |    GROUP BY doc_id, g) GROUP BY doc_id)
+        |SELECT b.doc_id, nw AS n_words,
+        |  round(CASE WHEN nw = 0 THEN 0.0 ELSE du::DOUBLE / nw END, 6) AS distinct_word_ratio,
+        |  round(CASE WHEN nw < 2 THEN 0.0 ELSE mx2::DOUBLE / (nw - 1) END, 6) AS top2gram_frac,
+        |  round(CASE WHEN nw < 3 THEN 0.0 ELSE mx3::DOUBLE / (nw - 2) END, 6) AS top3gram_frac,
+        |  round(CASE WHEN nw < 5 THEN 0.0 ELSE coalesce(dup5, 0)::DOUBLE / (nw - 4) END, 6) AS dup5gram_frac,
+        |  CASE WHEN (nw >= 2 AND mx2::DOUBLE / (nw - 1) > 0.20)
+        |         OR (nw >= 3 AND mx3::DOUBLE / (nw - 2) > 0.18)
+        |         OR (nw >= 5 AND coalesce(dup5, 0)::DOUBLE / (nw - 4) > 0.30)
+        |         OR (nw > 0 AND du::DOUBLE / nw < 0.20)
+        |       THEN 1 ELSE 0 END AS repetitive
+        |FROM b LEFT JOIN uni USING (doc_id) LEFT JOIN g2 USING (doc_id)
+        |  LEFT JOIN g3 USING (doc_id) LEFT JOIN g5 USING (doc_id)""".stripMargin,
+    "q42_contamination" ->
+      """WITH w0 AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, g FROM (
+        |    SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 2),
+        |      i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS g FROM w0)),
+        |bench AS (SELECT doc_id AS bench_id, g FROM sh WHERE doc_id % 10 = 0),
+        |corp AS (SELECT doc_id, g FROM sh WHERE doc_id % 10 <> 0)
+        |SELECT c.doc_id, count(DISTINCT c.g) AS n_shared,
+        |       count(DISTINCT b.bench_id) AS n_bench_docs
+        |FROM corp c JOIN bench b ON b.g = c.g
+        |GROUP BY c.doc_id""".stripMargin,
     "q40_ivf_ann" ->
       s"""WITH cents(c, cv) AS (VALUES $ivfCentLiterals),
         |aff AS (

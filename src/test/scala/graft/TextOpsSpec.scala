@@ -69,4 +69,56 @@ class TextOpsSpec extends AnyFunSuite {
     assert(TextAnalytics.tokenizeBpeIsh("don't stop123!") ==
       List("don", "'", "t", "stop", "123", "!"))
   }
+
+  test("repetitionProfile: hand-computed fixtures") {
+    import spark.implicits._
+    val docs = Seq(
+      // "a b a b a b": 6 words, 2 distinct; bigrams a-b(3) b-a(2) of 5
+      (1L, "a b a b a b"),
+      // all-distinct prose: no repeated n-grams
+      (2L, "one two three four five six seven eight"),
+      (3L, ""),
+      // 10 words, 5-gram "a b c d e" occurs twice among 6 slots → dup5 = 2/6
+      (4L, "a b c d e a b c d e")).toDF("doc_id", "text")
+    val p = TextOps.repetitionProfile(docs, "doc_id", "text")
+      .collect().map(r => r.doc_id -> r).toMap
+    assert(p(1L).n_words == 6)
+    assert(math.abs(p(1L).distinct_word_ratio - 2.0 / 6) < 1e-6)
+    assert(math.abs(p(1L).top2gram_frac - 3.0 / 5) < 1e-6)
+    assert(p(1L).repetitive == 1)
+    assert(math.abs(p(2L).top2gram_frac - 1.0 / 7) < 1e-6) // every bigram unique: max 1 of 7 slots
+    assert(p(2L).repetitive == 0)
+    assert(p(3L).n_words == 0 && p(3L).repetitive == 0)
+    assert(math.abs(p(4L).dup5gram_frac - 2.0 / 6) < 1e-6)
+    assert(p(4L).repetitive == 1)
+  }
+
+  test("contaminationStats finds planted overlap; decontaminate drops it") {
+    import spark.implicits._
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta eta theta")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "noise words here alpha beta gamma delta epsilon zeta eta theta trailing tail"),
+      (2L, "completely unrelated content with no overlap at all in any window"),
+      (3L, "zeta eta theta iota kappa lambda mu nu xi omicron pi rho")).toDF("doc_id", "text")
+    val stats = TextOps.contaminationStats(corpus, bench, "doc_id", "text", n = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(stats.keySet == Set(1L)) // only doc 1 shares a full 8-gram
+    assert(stats(1L) == 1L)
+    val kept = TextOps.decontaminate(corpus, bench, "doc_id", "text", n = 8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 3L))
+    // with trigrams, doc 3 is contaminated too ("zeta eta theta")
+    val tri = TextOps.contaminationStats(corpus, bench, "doc_id", "text", n = 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(tri == Set(1L, 3L))
+  }
+
+  test("contamination join broadcasts the benchmark side") {
+    import spark.implicits._
+    val bench = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val corpus = Seq((1L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val plan = TextOps.contaminationStats(corpus, bench, "doc_id", "text", n = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join in:\n$plan")
+  }
 }
