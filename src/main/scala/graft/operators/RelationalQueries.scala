@@ -692,7 +692,67 @@ object RelationalQueries {
       "doc_id", "text", n = 3)
   }
 
+  /** PII scrub (Privacy.piiScrub): the documents table carries no
+    * real PII, so both engines derive the same deterministic
+    * email/phone/IP-bearing text from doc_id first, then the scrub
+    * runs over that — counts before redaction, md5 of the redacted
+    * text as the value witness. */
+  def q43PiiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    val withPii = t(spark, dir, "documents").select(
+      d,
+      concat(
+        col("text"),
+        lit(" contact user"), d.cast("string"), lit("@mail"), (d % 7).cast("string"), lit(".com"),
+        lit(" call 555-"), lpad((d % 1000).cast("string"), 3, "0"),
+        lit("-"), lpad(((d * 7) % 10000).cast("string"), 4, "0"),
+        lit(" from 10."), (d % 256).cast("string"), lit("."),
+        ((d * 3) % 256).cast("string"), lit("."), ((d * 5) % 256).cast("string")
+      ).as("text"))
+    Privacy.piiScrub(withPii, "doc_id", "text")
+      .select(col("doc_id"), col("n_emails"), col("n_phones"), col("n_ips"),
+        md5(col("redacted")).as("redacted_md5"))
+  }
+
+  /** Per-language token-count quantiles (mixture diagnostics): exact
+    * interpolated percentiles — Spark `percentile` and DuckDB
+    * `quantile_cont` share the rank = q·(n−1) linear-interpolation
+    * definition. Word counting reuses q41's [^a-z]+ split. */
+  def q44TokenQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val nw = size(filter(split(lower(col("text")), "[^a-z]+"), w => w =!= lit("")))
+    val pct = expr("percentile(nw, array(0.25D, 0.5D, 0.75D, 0.9D))")
+    t(spark, dir, "documents")
+      .select(col("lang"), nw.as("nw"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(avg(col("nw")), 6).as("mean_words"),
+        round(pct.getItem(0), 6).as("p25"),
+        round(pct.getItem(1), 6).as("p50"),
+        round(pct.getItem(2), 6).as("p75"),
+        round(pct.getItem(3), 6).as("p90"))
+  }
+
+  /** Deterministic stratified down-sample (Sampling.stratifiedSample)
+    * with per-language mixture rates; thresholds are powers of two so
+    * the 1/65536 quantization is exact in the oracle too. */
+  def q45StratifiedSample(spark: SparkSession, dir: String): DataFrame =
+    Sampling.stratifiedSample(t(spark, dir, "documents"), "lang", "text",
+      Map("en" -> 0.5, "fr" -> 0.25, "zh" -> 0.125), defaultRate = 0.0625)
+      .select("doc_id", "lang")
+
+  /** Integer epoch up-sampling (Sampling.mixtureUpsample): src0 ×3,
+    * src1 ×2, src2 dropped, everything else ×1. */
+  def q46MixtureUpsample(spark: SparkSession, dir: String): DataFrame =
+    Sampling.mixtureUpsample(t(spark, dir, "documents"), "source",
+      Map("src0" -> 3, "src1" -> 2, "src2" -> 0), defaultFactor = 1)
+      .select("doc_id", "source", "copy")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q43_pii_scrub" -> q43PiiScrub,
+    "q44_token_quantiles" -> q44TokenQuantiles,
+    "q45_stratified_sample" -> q45StratifiedSample,
+    "q46_mixture_upsample" -> q46MixtureUpsample,
     "q41_repetition" -> q41Repetition,
     "q42_contamination" -> q42Contamination,
     "q37_lsh_ann" -> q37LshAnn,
@@ -796,6 +856,54 @@ object RelationalQueries {
       .mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    "q43_pii_scrub" ->
+      s"""WITH p AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || doc_id || '@mail' || (doc_id % 7) || '.com' ||
+        |    ' call 555-' || lpad((doc_id % 1000)::VARCHAR, 3, '0') || '-' ||
+        |    lpad(((doc_id * 7) % 10000)::VARCHAR, 4, '0') ||
+        |    ' from 10.' || (doc_id % 256) || '.' || ((doc_id * 3) % 256) || '.' || ((doc_id * 5) % 256) AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(t, '${Privacy.EmailRe}')) AS n_emails,
+        |  len(regexp_extract_all(t, '${Privacy.PhoneRe}')) AS n_phones,
+        |  len(regexp_extract_all(t, '${Privacy.Ipv4Re}')) AS n_ips,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(t,
+        |    '${Privacy.EmailRe}', '<EMAIL>', 'g'),
+        |    '${Privacy.PhoneRe}', '<PHONE>', 'g'),
+        |    '${Privacy.Ipv4Re}', '<IP>', 'g')) AS redacted_md5
+        |FROM p""".stripMargin,
+    "q44_token_quantiles" ->
+      """WITH w AS (
+        |  SELECT lang,
+        |    len(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '')) AS nw
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_docs,
+        |  round(avg(nw), 6) AS mean_words,
+        |  round(quantile_cont(nw, 0.25), 6) AS p25,
+        |  round(quantile_cont(nw, 0.50), 6) AS p50,
+        |  round(quantile_cont(nw, 0.75), 6) AS p75,
+        |  round(quantile_cont(nw, 0.90), 6) AS p90
+        |FROM w GROUP BY lang""".stripMargin,
+    "q45_stratified_sample" ->
+      """WITH tk AS (
+        |  SELECT doc_id, lang, md5(text) AS h FROM documents),
+        |tv AS (
+        |  SELECT doc_id, lang,
+        |    (ascii(substr(h,1,1)) - CASE WHEN ascii(substr(h,1,1)) >= 97 THEN 87 ELSE 48 END) * 4096 +
+        |    (ascii(substr(h,2,1)) - CASE WHEN ascii(substr(h,2,1)) >= 97 THEN 87 ELSE 48 END) * 256 +
+        |    (ascii(substr(h,3,1)) - CASE WHEN ascii(substr(h,3,1)) >= 97 THEN 87 ELSE 48 END) * 16 +
+        |    (ascii(substr(h,4,1)) - CASE WHEN ascii(substr(h,4,1)) >= 97 THEN 87 ELSE 48 END) AS ticket
+        |  FROM tk)
+        |SELECT doc_id, lang FROM tv
+        |WHERE ticket < CASE lang WHEN 'en' THEN 32768 WHEN 'fr' THEN 16384
+        |                         WHEN 'zh' THEN 8192 ELSE 4096 END""".stripMargin,
+    "q46_mixture_upsample" ->
+      """SELECT doc_id, source, unnest(generate_series(1, f)) AS copy
+        |FROM (SELECT doc_id, source,
+        |        CASE source WHEN 'src0' THEN 3 WHEN 'src1' THEN 2
+        |                    WHEN 'src2' THEN 0 ELSE 1 END AS f
+        |      FROM documents)""".stripMargin,
     "q41_repetition" ->
       """WITH w0 AS (
         |  SELECT doc_id,
