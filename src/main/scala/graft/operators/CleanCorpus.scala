@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The composed corpus-cleaning pipeline — the end-to-end pass the
+  * individual operators exist for, in the order a production
+  * pretraining pipeline runs them:
+  *
+  *   1. repetition gate   (TextOps.repetitionProfile, q41 semantics)
+  *   2. quality gate      (TextOps.qualityFilter, q36 formula)
+  *   3. PII redaction     (Privacy.redacted, q43 semantics)
+  *   4. exact dedup       (md5 groupBy, min-id representative; q13)
+  *   5. decontamination   (TextOps broadcast shingle anti-join, q42)
+  *
+  * Redaction runs BEFORE dedup on purpose: two documents differing
+  * only in the PII they leak are the same document after scrubbing
+  * and must collapse. Every stage is individually DuckDB-oracled or
+  * spec-pinned; the composition itself stays one lazy DAG — gates are
+  * left-semi joins against narrow (doc_id)-only frames, so non-text
+  * columns flow through untouched and nothing widens the shuffle.
+  */
+object CleanCorpus {
+
+  /** Cleaned corpus: input rows (all columns, text redacted) that
+    * survive all five stages. */
+  def clean(docs: DataFrame, benchmark: DataFrame,
+            idCol: String, textCol: String,
+            minQuality: Double = 0.3, minWords: Int = 5,
+            shingleN: Int = 8): DataFrame = {
+    val nonRepetitive = TextOps.repetitionProfile(docs, idCol, textCol)
+      .toDF().filter(col("repetitive") === 0)
+      .select(col("doc_id").as("__rep_keep"))
+    val gated = TextOps.qualityFilter(
+      docs.join(nonRepetitive, docs(idCol).cast("long") === col("__rep_keep"), "left_semi"),
+      idCol, textCol, minQuality, minWords)
+    val scrubbed = gated.withColumn(textCol, Privacy.redacted(col(textCol)))
+    // exact dedup on the REDACTED text, min-id representative
+    val reps = scrubbed
+      .select(col(idCol).cast("long").as("__id"), md5(col(textCol)).as("__h"))
+      .groupBy("__h").agg(min("__id").as("__rep_id"))
+      .select("__rep_id")
+    val deduped = scrubbed.join(reps,
+      scrubbed(idCol).cast("long") === col("__rep_id"), "left_semi")
+    TextOps.decontaminate(deduped, benchmark, idCol, textCol, shingleN)
+  }
+
+  /** Per-stage survivor counts — the funnel diagnostic a pipeline
+    * logs per batch. Runs one job per stage (counts force the DAG),
+    * so call it on samples, not the 100-TB corpus. */
+  def funnel(docs: DataFrame, benchmark: DataFrame,
+             idCol: String, textCol: String,
+             minQuality: Double = 0.3, minWords: Int = 5,
+             shingleN: Int = 8): Seq[(String, Long)] = {
+    val nonRep = docs.join(
+      TextOps.repetitionProfile(docs, idCol, textCol).toDF()
+        .filter(col("repetitive") === 0).select(col("doc_id").as("__k")),
+      docs(idCol).cast("long") === col("__k"), "left_semi")
+    val gated = TextOps.qualityFilter(nonRep, idCol, textCol, minQuality, minWords)
+    val scrubbed = gated.withColumn(textCol, Privacy.redacted(col(textCol)))
+    val deduped = scrubbed.join(
+      scrubbed.select(col(idCol).cast("long").as("__id"), md5(col(textCol)).as("__h"))
+        .groupBy("__h").agg(min("__id").as("__rep_id")).select("__rep_id"),
+      scrubbed(idCol).cast("long") === col("__rep_id"), "left_semi")
+    val decon = TextOps.decontaminate(deduped, benchmark, idCol, textCol, shingleN)
+    Seq(
+      "input" -> docs.count(),
+      "repetition_gate" -> nonRep.count(),
+      "quality_gate" -> gated.count(),
+      "exact_dedup" -> deduped.count(),
+      "decontaminated" -> decon.count())
+  }
+}

@@ -748,7 +748,23 @@ object RelationalQueries {
       Map("src0" -> 3, "src1" -> 2, "src2" -> 0), defaultFactor = 1)
       .select("doc_id", "source", "copy")
 
+  /** The composed five-stage corpus clean (CleanCorpus.clean):
+    * repetition gate → quality ≥0.7 → PII redact → exact dedup →
+    * 4-gram decontamination vs the every-10th-doc benchmark. The
+    * oracle replays the SAME five stages from the already-oracled
+    * q41/q36/q43/q13/q42 SQL pieces — the composition (stage order,
+    * gate-on-original vs dedup-on-redacted) is what q47 checks. */
+  def q47CleanCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    CleanCorpus.clean(
+      docs.filter(col("doc_id") % 10 =!= 0),
+      docs.filter(col("doc_id") % 10 === 0),
+      "doc_id", "text", minQuality = 0.7, minWords = 5, shingleN = 4)
+      .select(col("doc_id"), col("lang"), col("source"), md5(col("text")).as("text_md5"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q47_clean_corpus" -> q47CleanCorpus,
     "q43_pii_scrub" -> q43PiiScrub,
     "q44_token_quantiles" -> q44TokenQuantiles,
     "q45_stratified_sample" -> q45StratifiedSample,
@@ -856,6 +872,88 @@ object RelationalQueries {
       .mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    "q47_clean_corpus" ->
+      s"""WITH w0 AS (
+        |  SELECT doc_id, lang, source, text,
+        |    list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '') AS w
+        |  FROM documents),
+        |corp AS (SELECT * FROM w0 WHERE doc_id % 10 <> 0),
+        |bench AS (SELECT * FROM w0 WHERE doc_id % 10 = 0),
+        |cb AS (SELECT doc_id, w, len(w) AS nw FROM corp),
+        |uni AS (
+        |  SELECT doc_id, count(DISTINCT x) AS du
+        |  FROM (SELECT doc_id, unnest(w) AS x FROM cb) GROUP BY doc_id),
+        |g2 AS (
+        |  SELECT doc_id, max(c) AS mx2 FROM (
+        |    SELECT doc_id, g, count(*) AS c FROM (
+        |      SELECT doc_id, unnest(list_transform(generate_series(1, nw - 1),
+        |        i -> w[i] || ' ' || w[i + 1])) AS g FROM cb)
+        |    GROUP BY doc_id, g) GROUP BY doc_id),
+        |g3 AS (
+        |  SELECT doc_id, max(c) AS mx3 FROM (
+        |    SELECT doc_id, g, count(*) AS c FROM (
+        |      SELECT doc_id, unnest(list_transform(generate_series(1, nw - 2),
+        |        i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS g FROM cb)
+        |    GROUP BY doc_id, g) GROUP BY doc_id),
+        |g5 AS (
+        |  SELECT doc_id, sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup5 FROM (
+        |    SELECT doc_id, g, count(*) AS c FROM (
+        |      SELECT doc_id, unnest(list_transform(generate_series(1, nw - 4),
+        |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4])) AS g
+        |      FROM cb)
+        |    GROUP BY doc_id, g) GROUP BY doc_id),
+        |rep_bad AS (
+        |  SELECT cb.doc_id FROM cb LEFT JOIN uni USING (doc_id)
+        |    LEFT JOIN g2 USING (doc_id) LEFT JOIN g3 USING (doc_id) LEFT JOIN g5 USING (doc_id)
+        |  WHERE (nw >= 2 AND mx2::DOUBLE / (nw - 1) > 0.20)
+        |     OR (nw >= 3 AND mx3::DOUBLE / (nw - 2) > 0.18)
+        |     OR (nw >= 5 AND coalesce(dup5, 0)::DOUBLE / (nw - 4) > 0.30)
+        |     OR (nw > 0 AND du::DOUBLE / nw < 0.20)),
+        |keep1 AS (SELECT * FROM corp WHERE doc_id NOT IN (SELECT doc_id FROM rep_bad)),
+        |qb AS (
+        |  SELECT doc_id, len(text) AS n,
+        |    CAST(len(text) - len(regexp_replace(text, '[A-Za-z]', '', 'g')) AS DOUBLE) AS alpha,
+        |    CAST(len(text) - len(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) AS digit,
+        |    CAST(len(text) - len(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) AS ws,
+        |    w
+        |  FROM keep1 WHERE len(text) > 0),
+        |qc AS (
+        |  SELECT doc_id, n, alpha, digit, CAST(n AS DOUBLE) - alpha - digit - ws AS punct,
+        |    CAST(len(w) AS DOUBLE) AS n_words,
+        |    CAST(len(list_filter(w, x -> list_contains($enStopList, x))) AS DOUBLE) AS stop_hits
+        |  FROM qb),
+        |q_ok AS (
+        |  SELECT doc_id FROM qc
+        |  WHERE n_words >= 5 AND greatest(0.0, least(1.0,
+        |    0.35 * (alpha / n) +
+        |    0.25 * least(1.0, (CASE WHEN n_words = 0 THEN 0.0 ELSE stop_hits / n_words END) * 4) +
+        |    0.20 * least(1.0, n_words / 20.0) +
+        |    0.20 * (1.0 - least(1.0, digit / n * 3 + punct / n * 2)))) >= 0.7),
+        |red AS (
+        |  SELECT doc_id, lang, source,
+        |    regexp_replace(regexp_replace(regexp_replace(text,
+        |      '${Privacy.EmailRe}', '<EMAIL>', 'g'),
+        |      '${Privacy.PhoneRe}', '<PHONE>', 'g'),
+        |      '${Privacy.Ipv4Re}', '<IP>', 'g') AS text
+        |  FROM keep1 WHERE doc_id IN (SELECT doc_id FROM q_ok)),
+        |dd AS (
+        |  SELECT * FROM red
+        |  WHERE doc_id IN (SELECT min(doc_id) FROM red GROUP BY md5(text))),
+        |dsh AS (
+        |  SELECT DISTINCT doc_id, g FROM (
+        |    SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 3),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS g
+        |    FROM (SELECT doc_id,
+        |            list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '') AS w
+        |          FROM dd))),
+        |bsh AS (
+        |  SELECT DISTINCT g FROM (
+        |    SELECT unnest(list_transform(generate_series(1, len(w) - 3),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS g
+        |    FROM bench)),
+        |bad AS (SELECT DISTINCT doc_id FROM dsh JOIN bsh USING (g))
+        |SELECT doc_id, lang, source, md5(text) AS text_md5
+        |FROM dd WHERE doc_id NOT IN (SELECT doc_id FROM bad)""".stripMargin,
     "q43_pii_scrub" ->
       s"""WITH p AS (
         |  SELECT doc_id,
