@@ -763,7 +763,39 @@ object RelationalQueries {
       .select(col("doc_id"), col("lang"), col("source"), md5(col("text")).as("text_md5"))
   }
 
+  /** Global vocabulary heavy hitters: top-20 words by frequency with
+    * a deterministic (n DESC, word ASC) tie-break so both engines
+    * pick the same rows. Shape at scale: explode → ONE partial-agg
+    * shuffle → bounded global top-k (TopK via sort+limit on the
+    * already-aggregated word frame, not the raw token stream). */
+  def q48VocabTopk(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(explode(filter(split(lower(col("text")), "[^a-z]+"), w => w =!= lit(""))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word").asc)
+      .limit(20)
+
+  /** Per-source language-mixture drift: KL(P(lang|source) ‖ P(lang)).
+    * The mixture diagnostic a data pipeline tracks per ingest source.
+    * Three partial-agg passes + broadcast joins on tiny aggregate
+    * frames — no windows, nothing driver-side. */
+  def q49LangMixKl(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val bySrcLang = docs.groupBy("source", "lang").agg(count(lit(1)).as("n_sl"))
+    val bySrc = docs.groupBy("source").agg(count(lit(1)).as("n_s"))
+    val byLang = docs.groupBy("lang").agg(count(lit(1)).as("n_l"))
+    val total = docs.agg(count(lit(1)).as("n_tot"))
+    val p = col("n_sl").cast("double") / col("n_s")
+    val q = col("n_l").cast("double") / col("n_tot")
+    bySrcLang.join(bySrc, "source").join(broadcast(byLang), "lang")
+      .crossJoin(broadcast(total))
+      .groupBy("source")
+      .agg(round(sum(p * log(p / q)), 6).as("kl"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q48_vocab_topk" -> q48VocabTopk,
+    "q49_lang_mix_kl" -> q49LangMixKl,
     "q47_clean_corpus" -> q47CleanCorpus,
     "q43_pii_scrub" -> q43PiiScrub,
     "q44_token_quantiles" -> q44TokenQuantiles,
@@ -872,6 +904,22 @@ object RelationalQueries {
       .mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    "q48_vocab_topk" ->
+      """SELECT word, count(*) AS n FROM (
+        |  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+        |    x -> x <> '')) AS word
+        |  FROM documents)
+        |GROUP BY word ORDER BY n DESC, word ASC LIMIT 20""".stripMargin,
+    "q49_lang_mix_kl" ->
+      """WITH sl AS (SELECT source, lang, count(*) AS n_sl FROM documents GROUP BY 1, 2),
+        |s AS (SELECT source, count(*) AS n_s FROM documents GROUP BY 1),
+        |l AS (SELECT lang, count(*) AS n_l FROM documents GROUP BY 1),
+        |t AS (SELECT count(*) AS n_tot FROM documents)
+        |SELECT source,
+        |  round(sum((n_sl::DOUBLE / n_s) *
+        |    ln((n_sl::DOUBLE / n_s) / (n_l::DOUBLE / n_tot))), 6) AS kl
+        |FROM sl JOIN s USING (source) JOIN l USING (lang) CROSS JOIN t
+        |GROUP BY source""".stripMargin,
     "q47_clean_corpus" ->
       s"""WITH w0 AS (
         |  SELECT doc_id, lang, source, text,

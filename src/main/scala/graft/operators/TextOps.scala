@@ -103,44 +103,48 @@ object TextOps {
     * One narrow typed-map pass, no shuffle; per-doc hash counting is
     * O(words). All ratios are exact integer divisions rounded to 6
     * decimals on both engines (q41 oracle twin). */
+  private def gramCounts(ws: Array[String], n: Int): scala.collection.mutable.HashMap[String, Int] = {
+    val counts = scala.collection.mutable.HashMap.empty[String, Int]
+    var i = 0
+    while (i + n <= ws.length) {
+      val g = ws.slice(i, i + n).mkString(" ")
+      counts.update(g, counts.getOrElse(g, 0) + 1)
+      i += 1
+    }
+    counts
+  }
+  private def topFrac(ws: Array[String], n: Int): Double = {
+    val slots = ws.length - n + 1
+    if (slots <= 0) 0.0
+    else gramCounts(ws, n).valuesIterator.max.toDouble / slots
+  }
+  private def dupFrac(ws: Array[String], n: Int): Double = {
+    val slots = ws.length - n + 1
+    if (slots <= 0) 0.0
+    else gramCounts(ws, n).valuesIterator.filter(_ > 1).sum.toDouble / slots
+  }
+  private def r6(d: Double): Double =
+    BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Pure per-text repetition kernel — the single definition both the
+    * batch operator and the streaming clean share. */
+  def repetitionOf(id: Long, text0: String): RepetitionProfile = {
+    val ws = TextAnalytics.words(if (text0 == null) "" else text0).toArray
+    val nw = ws.length
+    val distinctR = if (nw == 0) 0.0 else ws.distinct.length.toDouble / nw
+    val top2 = topFrac(ws, 2)
+    val top3 = topFrac(ws, 3)
+    val dup5 = dupFrac(ws, 5)
+    val gate = top2 > 0.20 || top3 > 0.18 || dup5 > 0.30 || (nw > 0 && distinctR < 0.20)
+    RepetitionProfile(id, nw, r6(distinctR), r6(top2), r6(top3), r6(dup5),
+      if (gate) 1 else 0)
+  }
+
   def repetitionProfile(docs: DataFrame, idCol: String, textCol: String): Dataset[RepetitionProfile] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    def gramCounts(ws: Array[String], n: Int): scala.collection.mutable.HashMap[String, Int] = {
-      val counts = scala.collection.mutable.HashMap.empty[String, Int]
-      var i = 0
-      while (i + n <= ws.length) {
-        val g = ws.slice(i, i + n).mkString(" ")
-        counts.update(g, counts.getOrElse(g, 0) + 1)
-        i += 1
-      }
-      counts
-    }
-    def topFrac(ws: Array[String], n: Int): Double = {
-      val slots = ws.length - n + 1
-      if (slots <= 0) 0.0
-      else gramCounts(ws, n).valuesIterator.max.toDouble / slots
-    }
-    def dupFrac(ws: Array[String], n: Int): Double = {
-      val slots = ws.length - n + 1
-      if (slots <= 0) 0.0
-      else gramCounts(ws, n).valuesIterator.filter(_ > 1).sum.toDouble / slots
-    }
-    def r6(d: Double): Double = BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
-      .mapPartitions { it =>
-        it.map { case (id, text0) =>
-          val ws = TextAnalytics.words(if (text0 == null) "" else text0).toArray
-          val nw = ws.length
-          val distinctR = if (nw == 0) 0.0 else ws.distinct.length.toDouble / nw
-          val top2 = topFrac(ws, 2)
-          val top3 = topFrac(ws, 3)
-          val dup5 = dupFrac(ws, 5)
-          val gate = top2 > 0.20 || top3 > 0.18 || dup5 > 0.30 || (nw > 0 && distinctR < 0.20)
-          RepetitionProfile(id, nw, r6(distinctR), r6(top2), r6(top3), r6(dup5),
-            if (gate) 1 else 0)
-        }
-      }
+      .mapPartitions(_.map { case (id, text) => repetitionOf(id, text) })
   }
 
   /** Per-document distinct word n-gram shingles: one row per

@@ -189,4 +189,52 @@ object StreamingExtraction {
       .groupBy(org.apache.spark.sql.functions.window(col("ts"), window), col("tag"))
       .agg(count(lit(1)).as("n_mentions"))
   }
+
+  /** A timestamped document event (the streaming shape of the
+    * `documents` table). */
+  final case class DocEvent(doc_id: Long, ts: java.sql.Timestamp, text: String)
+
+  /** Streaming lift of the corpus-clean pass (operators.CleanCorpus):
+    * repetition gate, quality gate and PII redaction run as the SAME
+    * pure kernels the batch operator uses (TextOps.repetitionOf,
+    * TextAnalytics.quality, Privacy.redactString) in one stateless
+    * map; decontamination checks each redacted doc's word shingles
+    * against a broadcast benchmark shingle set (eval sets are small
+    * by contract, so the set fits on every executor — the streaming
+    * analogue of the batch broadcast join); exact dedup becomes
+    * `dropDuplicatesWithinWatermark` on the content md5, which bounds
+    * the dedup state to the watermark horizon.
+    *
+    * Documented semantic delta vs batch: dedup keeps the FIRST
+    * ARRIVAL of a text, not the min doc_id (on a stream, first-seen
+    * is the natural representative), and only duplicates within the
+    * watermark horizon collapse. Near-dup (MinHash) dedup stays a
+    * batch/stream boundary. */
+  def cleanDocStream(docs: Dataset[DocEvent], benchmark: Seq[String], shingleN: Int,
+                     minQuality: Double = 0.3, minWords: Int = 5,
+                     watermark: String = "10 minutes"): Dataset[DocEvent] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    def shingles(text: String): Iterator[String] =
+      graft.functions.TextAnalytics.words(if (text == null) "" else text)
+        .sliding(shingleN).withFilter(_.length == shingleN).map(_.mkString(" ")).iterator
+    val benchSet = benchmark.flatMap(shingles).toSet
+    val bc = spark.sparkContext.broadcast(benchSet)
+    docs
+      .mapPartitions(_.flatMap { d =>
+        val q = graft.functions.TextAnalytics.quality(if (d.text == null) "" else d.text)
+        val rep = graft.operators.TextOps.repetitionOf(d.doc_id, d.text)
+        if (rep.repetitive == 1 || q.score < minQuality || q.nWords < minWords) None
+        else {
+          val red = graft.operators.Privacy.redactString(d.text)
+          if (shingles(red).exists(bc.value.contains)) None
+          else Some(DocEvent(d.doc_id, d.ts, red))
+        }
+      })
+      .withColumn("__h", md5(col("text")))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("__h")
+      .drop("__h")
+      .as[DocEvent]
+  }
 }

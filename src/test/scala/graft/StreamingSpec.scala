@@ -198,4 +198,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.map(_.getString(1)).toSet.subsetOf(Set("PERSON", "ORG", "GPE")))
     assert(rows.map(_.getLong(2)).sum > 0)
   }
+
+  test("streaming corpus clean matches the batch clean (kernel parity + watermark dedup)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import StreamingExtraction.DocEvent
+    def prose(tail: String) = s"the quick brown fox jumps over the lazy dog and then it $tail"
+    val ts0 = new java.sql.Timestamp(1700000000000L)
+    val benchText = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val docs = Seq(
+      DocEvent(1L, ts0, prose("went home to sleep quietly under warm blankets tonight")),
+      DocEvent(2L, ts0, "go stop go stop go stop go stop go stop go stop go stop go stop"),
+      DocEvent(3L, ts0, "tiny doc"),
+      DocEvent(4L, ts0, prose("mailed a@b.co about the plan for tomorrow evening meal")),
+      DocEvent(5L, ts0, prose("mailed c@d.io about the plan for tomorrow evening meal")),
+      DocEvent(6L, ts0, prose("saw alpha beta gamma delta epsilon zeta eta theta appear")))
+    val stream = MemoryStream[DocEvent]
+    stream.addData(docs)
+    val out = StreamingExtraction.cleanDocStream(stream.toDS(), Seq(benchText), shingleN = 8)
+    val q = out.writeStream
+      .format("memory").queryName("clean_docs")
+      .outputMode("append")
+      .trigger(Trigger.Once())
+      .start()
+    q.awaitTermination(60000)
+    val got = spark.table("clean_docs").as[DocEvent].collect()
+    // same survivors as the batch operator (the PII twins 4/5 collapse
+    // to ONE row — stream keeps first arrival, batch keeps min id, so
+    // compare on redacted TEXT sets, which are identical)
+    val batch = graft.operators.CleanCorpus.clean(
+      docs.toDF().withColumnRenamed("ts", "__ts"),
+      Seq((100L, benchText)).toDF("doc_id", "text"),
+      "doc_id", "text", minQuality = 0.3, minWords = 5, shingleN = 8)
+    assert(got.map(_.text).toSet == batch.select("text").as[String].collect().toSet)
+    assert(got.map(_.doc_id).toSet.contains(1L) && got.length == 2)
+    assert(got.forall(d => d.text.contains("<EMAIL>") || d.doc_id == 1L))
+  }
 }
