@@ -23,17 +23,31 @@ import org.apache.spark.sql.functions._
 object CleanCorpus {
 
   /** Cleaned corpus: input rows (all columns, text redacted) that
-    * survive all five stages. */
+    * survive all five stages.
+    *
+    * The two text gates (repetition + quality) run fused in ONE typed
+    * pass over (id, text) — the same pure kernels the streaming lift
+    * uses — feeding a single left-semi join; the full TextOps.profile
+    * (winnowing, simhash, langid) is deliberately NOT computed here,
+    * the gates only need the repetition signals and the quality
+    * score. Measured on sf0.1: fusing the gates and skipping the
+    * profile roughly halves the q47 wall. */
   def clean(docs: DataFrame, benchmark: DataFrame,
             idCol: String, textCol: String,
             minQuality: Double = 0.3, minWords: Int = 5,
             shingleN: Int = 8): DataFrame = {
-    val nonRepetitive = TextOps.repetitionProfile(docs, idCol, textCol)
-      .toDF().filter(col("repetitive") === 0)
-      .select(col("doc_id").as("__rep_keep"))
-    val gated = TextOps.qualityFilter(
-      docs.join(nonRepetitive, docs(idCol).cast("long") === col("__rep_keep"), "left_semi"),
-      idCol, textCol, minQuality, minWords)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val keepIds = docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, t0) =>
+        val t = if (t0 == null) "" else t0
+        if (TextOps.repetitionOf(id, t).repetitive == 1) None
+        else {
+          val q = graft.functions.TextAnalytics.quality(t)
+          if (q.score >= minQuality && q.nWords >= minWords) Some(id) else None
+        }
+      }).toDF("__keep_id")
+    val gated = docs.join(keepIds, docs(idCol).cast("long") === col("__keep_id"), "left_semi")
     val scrubbed = gated.withColumn(textCol, Privacy.redacted(col(textCol)))
     // exact dedup on the REDACTED text, min-id representative
     val reps = scrubbed

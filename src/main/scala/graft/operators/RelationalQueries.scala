@@ -793,7 +793,16 @@ object RelationalQueries {
       .agg(round(sum(p * log(p / q)), 6).as("kl"))
   }
 
+  /** CCNet-style perplexity-proxy scoring (UnigramLM.scoreDocs):
+    * per-doc mean token log-probability under the corpus's own
+    * Laplace-smoothed unigram model. maxVocab=64 keeps a real OOV
+    * population at test scale (the synthetic vocabulary is ~100
+    * words); production uses 65536. */
+  def q50UnigramLp(spark: SparkSession, dir: String): DataFrame =
+    UnigramLM.scoreDocs(t(spark, dir, "documents"), "doc_id", "text", maxVocab = 64)
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q50_unigram_lp" -> q50UnigramLp,
     "q48_vocab_topk" -> q48VocabTopk,
     "q49_lang_mix_kl" -> q49LangMixKl,
     "q47_clean_corpus" -> q47CleanCorpus,
@@ -904,6 +913,22 @@ object RelationalQueries {
       .mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    "q50_unigram_lp" ->
+      """WITH wx AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '')) AS word
+        |  FROM documents),
+        |counts AS (SELECT word, count(*) AS n FROM wx GROUP BY word),
+        |tot AS (SELECT sum(n) AS total, count(*) AS dv FROM counts),
+        |model AS (
+        |  SELECT word, ln((n + 1)::DOUBLE / (total + least(dv, 64) + 1)) AS logprob
+        |  FROM (SELECT word, n FROM counts ORDER BY n DESC, word ASC LIMIT 64)
+        |  CROSS JOIN tot),
+        |denom AS (SELECT (total + least(dv, 64) + 1)::DOUBLE AS d FROM tot)
+        |SELECT doc_id, count(*) AS n_words,
+        |  round(avg(coalesce(m.logprob, ln(1.0 / d.d))), 6) AS mean_logprob
+        |FROM wx LEFT JOIN model m USING (word) CROSS JOIN denom d
+        |GROUP BY doc_id""".stripMargin,
     "q48_vocab_topk" ->
       """SELECT word, count(*) AS n FROM (
         |  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),

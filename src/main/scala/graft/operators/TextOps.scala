@@ -193,8 +193,11 @@ object TextOps {
     * over). */
   def decontaminate(corpus: DataFrame, benchmark: DataFrame,
                     idCol: String, textCol: String, n: Int = 8): DataFrame = {
-    val bad = contaminationStats(corpus, benchmark, idCol, textCol, n)
-      .select(col("doc_id").as("__bad_id"))
+    // leaner than contaminationStats for the FILTER purpose: no
+    // per-doc counts, just the distinct contaminated-id set
+    val bad = wordShingles(corpus, idCol, textCol, n)
+      .join(broadcast(wordShingles(benchmark, idCol, textCol, n).select("shingle")), "shingle")
+      .select(col("doc_id").as("__bad_id")).distinct()
     corpus.join(broadcast(bad), corpus(idCol).cast("long") === col("__bad_id"), "left_anti")
   }
 }

@@ -40,6 +40,16 @@ class CleanCorpusSpec extends AnyFunSuite {
     assert(out.columns.contains("lang"))
   }
 
+  test("clean's plan: decontamination broadcasts the benchmark, no cartesian product") {
+    import spark.implicits._
+    val bench = Seq((9L, "omicron pi rho sigma tau upsilon phi chi psi omega")).toDF("doc_id", "text")
+    val docs = (1 to 5).map(i => (i.toLong, prose(s"unique tail $i"))).toDF("doc_id", "text")
+    val plan = CleanCorpus.clean(docs, bench, "doc_id", "text", minQuality = 0.0, minWords = 0)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast decon join in:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"unexpected cartesian in:\n$plan")
+  }
+
   test("funnel counts shrink monotonically and name every stage") {
     import spark.implicits._
     val bench = Seq((9L, "omicron pi rho sigma tau upsilon phi chi psi omega")).toDF("doc_id", "text")

@@ -81,14 +81,18 @@ class StreamingSpec extends AnyFunSuite {
     val batchTriples = batch.triples.collect().toSet
 
     val stream = MemoryStream[Turn]
-    val q = StreamingExtraction.tripleStream(stream.toDS(), cfg, canon)
-      .writeStream.format("memory").queryName("stream_triples")
-      .outputMode("append").trigger(Trigger.Once())
-      .start()
-    // two "arrival batches" of the same turns
+    // two "arrival batches" of the same turns, BOTH enqueued before
+    // start: Trigger.Once + addData-after-start is a planning race
+    // (the single batch snapshots whatever has arrived by then);
+    // AvailableNow drains every pending block deterministically and
+    // still exercises multi-micro-batch arrival
     val (b1, b2) = turns.partition(_.turn_idx % 2 == 0)
     stream.addData(b1); stream.addData(b2)
-    q.awaitTermination(60000)
+    val q = StreamingExtraction.tripleStream(stream.toDS(), cfg, canon)
+      .writeStream.format("memory").queryName("stream_triples")
+      .outputMode("append").trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
     val streamed = spark.table("stream_triples").collect()
       .map(r => graft.kg.Triple(r.getString(0), r.getString(1), r.getString(2))).toSet
     // set equality: global distinct is the batch compactor's job
