@@ -801,7 +801,13 @@ object RelationalQueries {
   def q50UnigramLp(spark: SparkSession, dir: String): DataFrame =
     UnigramLM.scoreDocs(t(spark, dir, "documents"), "doc_id", "text", maxVocab = 64)
 
+  /** GPT-style sequence-packing plan (Packing.packPlan): documents
+    * laid end-to-end per source stream, cut every 512 tokens. */
+  def q51PackPlan(spark: SparkSession, dir: String): DataFrame =
+    Packing.packPlan(t(spark, dir, "documents"), "source", "doc_id", "text", budget = 512)
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q51_pack_plan" -> q51PackPlan,
     "q50_unigram_lp" -> q50UnigramLp,
     "q48_vocab_topk" -> q48VocabTopk,
     "q49_lang_mix_kl" -> q49LangMixKl,
@@ -913,6 +919,20 @@ object RelationalQueries {
       .mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    "q51_pack_plan" ->
+      """WITH n AS (
+        |  SELECT source, doc_id,
+        |    len(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> ''))::BIGINT AS n_tokens
+        |  FROM documents),
+        |s AS (
+        |  SELECT source, doc_id, n_tokens,
+        |    coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+        |  FROM n)
+        |SELECT source, doc_id, n_tokens, start,
+        |  CAST(floor(start / 512.0) AS BIGINT) AS seq_id,
+        |  start % 512 AS "offset"
+        |FROM s""".stripMargin,
     "q50_unigram_lp" ->
       """WITH wx AS (
         |  SELECT doc_id,
