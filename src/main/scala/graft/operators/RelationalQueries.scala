@@ -806,7 +806,19 @@ object RelationalQueries {
   def q51PackPlan(spark: SparkSession, dir: String): DataFrame =
     Packing.packPlan(t(spark, dir, "documents"), "source", "doc_id", "text", budget = 512)
 
+  /** BPE tokenizer trained on the corpus word histogram (50 merges,
+    * 4096-word histogram), then applied distributed: per-doc BPE
+    * token counts. Rows-only (the merge loop is not SQL-replayable);
+    * BpeTrainerSpec pins the merge sequence on the published
+    * walkthrough fixture and the distributed/driver encode parity. */
+  def bpeTokenCounts(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val merges = BpeTrainer.fit(docs, "text", nMerges = 50, maxVocab = 4096)
+    BpeTrainer.tokenCounts(docs, "doc_id", "text", merges)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_bpe_tokens" -> bpeTokenCounts,
     "q51_pack_plan" -> q51PackPlan,
     "q50_unigram_lp" -> q50UnigramLp,
     "q48_vocab_topk" -> q48VocabTopk,
