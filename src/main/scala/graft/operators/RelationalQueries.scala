@@ -817,7 +817,20 @@ object RelationalQueries {
     BpeTrainer.tokenCounts(docs, "doc_id", "text", merges)
   }
 
+  /** Per-label embedding centroids + per-dimension variance (cluster
+    * diagnostics over the embeddings table): posexplode → ONE
+    * partial-aggable groupBy(label, dim) — map-side combine keeps the
+    * shuffle at |labels|·dims rows regardless of corpus size. */
+  def q52LabelCentroids(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "embeddings")
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy("label", "dim")
+      .agg(count(lit(1)).as("n"),
+        round(avg("v"), 6).as("mean_v"),
+        round(var_samp("v"), 6).as("var_v"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q52_label_centroids" -> q52LabelCentroids,
     "text_bpe_tokens" -> bpeTokenCounts,
     "q51_pack_plan" -> q51PackPlan,
     "q50_unigram_lp" -> q50UnigramLp,
@@ -931,6 +944,12 @@ object RelationalQueries {
       .mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    "q52_label_centroids" ->
+      """SELECT label, u.i - 1 AS dim, count(*) AS n,
+        |  round(avg(embedding[u.i]), 6) AS mean_v,
+        |  round(var_samp(embedding[u.i]), 6) AS var_v
+        |FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(i)
+        |GROUP BY 1, 2""".stripMargin,
     "q51_pack_plan" ->
       """WITH n AS (
         |  SELECT source, doc_id,
