@@ -829,7 +829,38 @@ object RelationalQueries {
         round(avg("v"), 6).as("mean_v"),
         round(var_samp("v"), 6).as("var_v"))
 
+  /** Within-label inertia (k-means E-step diagnostic): mean squared
+    * distance to the own-label centroid. The centroid frame is
+    * |labels|·dims rows → broadcast back onto the exploded scan; two
+    * partial-aggable groupBys, nothing driver-side. */
+  def q53LabelInertia(spark: SparkSession, dir: String): DataFrame = {
+    val ex = t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+    val cent = ex.groupBy("label", "dim").agg(avg("v").as("mean_v"))
+    ex.join(broadcast(cent), Seq("label", "dim"))
+      .groupBy("vec_id", "label")
+      .agg(sum(pow(col("v") - col("mean_v"), lit(2))).as("sq"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"), round(avg("sq"), 6).as("inertia"))
+  }
+
+  /** Per-user event-type transition counts (behavioral bigrams): lag
+    * window ordered by (ts, event_id) within user — deterministic
+    * under timestamp ties — then one count agg. */
+  def q54EventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    t(spark, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        lag("event_type", 1).over(w).as("from_type"))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q53_label_inertia" -> q53LabelInertia,
+    "q54_event_transitions" -> q54EventTransitions,
     "q52_label_centroids" -> q52LabelCentroids,
     "text_bpe_tokens" -> bpeTokenCounts,
     "q51_pack_plan" -> q51PackPlan,
@@ -944,6 +975,23 @@ object RelationalQueries {
       .mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    "q53_label_inertia" ->
+      """WITH ex AS (
+        |  SELECT vec_id, label, u.i AS i, embedding[u.i]::DOUBLE AS v
+        |  FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(i)),
+        |cent AS (SELECT label, i, avg(v) AS mean_v FROM ex GROUP BY 1, 2),
+        |per AS (
+        |  SELECT vec_id, label, sum((v - mean_v) * (v - mean_v)) AS sq
+        |  FROM ex JOIN cent USING (label, i) GROUP BY 1, 2)
+        |SELECT label, count(*) AS n_vecs, round(avg(sq), 6) AS inertia
+        |FROM per GROUP BY label""".stripMargin,
+    "q54_event_transitions" ->
+      """WITH s AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events)
+        |SELECT prev AS from_type, event_type AS to_type, count(*) AS n
+        |FROM s WHERE prev IS NOT NULL GROUP BY 1, 2""".stripMargin,
     "q52_label_centroids" ->
       """SELECT label, u.i - 1 AS dim, count(*) AS n,
         |  round(avg(embedding[u.i]), 6) AS mean_v,
