@@ -858,7 +858,47 @@ object RelationalQueries {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** TPC-H Q3-shaped shipping priority: 3-way join with filters
+    * pushed to every scan, grouped revenue, bounded top-10 with a
+    * fully deterministic (rounded revenue, date, key) order. The fact
+    * joins stay shuffle joins (both sides scale); only the final
+    * top-k is bounded. */
+  def q55ShipPriority(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("1998-06-01").cast("timestamp_ntz")
+    t(spark, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      .join(t(spark, dir, "orders").filter(col("o_orderdate") < cutoff),
+        col("c_custkey") === col("o_custkey"))
+      .join(t(spark, dir, "lineitem").filter(col("l_shipdate") > cutoff),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderdate").asc, col("l_orderkey").asc)
+      .limit(10)
+  }
+
+  /** TPC-H Q5-shaped local-supplier volume: the 6-table join with the
+    * region/nation dims explicitly broadcast and the
+    * customer-nation = supplier-nation locality predicate folded into
+    * the supplier join. */
+  def q56LocalVolume(spark: SparkSession, dir: String): DataFrame = {
+    val y0 = lit("1997-01-01").cast("timestamp_ntz")
+    val y1 = lit("1998-01-01").cast("timestamp_ntz")
+    t(spark, dir, "customer")
+      .join(t(spark, dir, "orders").filter(col("o_orderdate") >= y0 && col("o_orderdate") < y1),
+        col("c_custkey") === col("o_custkey"))
+      .join(t(spark, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(spark, dir, "supplier"),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(t(spark, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(spark, dir, "region")).filter(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q55_ship_priority" -> q55ShipPriority,
+    "q56_local_volume" -> q56LocalVolume,
     "q53_label_inertia" -> q53LabelInertia,
     "q54_event_transitions" -> q54EventTransitions,
     "q52_label_centroids" -> q52LabelCentroids,
@@ -975,6 +1015,31 @@ object RelationalQueries {
       .mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    "q55_ship_priority" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-06-01'
+        |  AND l_shipdate > TIMESTAMP '1998-06-01'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, o_orderdate, l_orderkey
+        |LIMIT 10""".stripMargin,
+    "q56_local_volume" ->
+      """SELECT n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY n_name""".stripMargin,
     "q53_label_inertia" ->
       """WITH ex AS (
         |  SELECT vec_id, label, u.i AS i, embedding[u.i]::DOUBLE AS v

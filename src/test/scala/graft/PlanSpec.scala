@@ -26,6 +26,16 @@ class PlanSpec extends AnyFunSuite {
     assert(readSchema.contains("c_acctbal"))
   }
 
+  test("multi-way TPC-H-shaped joins: filters pushed, dims broadcast, no cartesian") {
+    val p = plan(RelationalQueries.q55ShipPriority(spark, dir))
+    // the segment filter must reach the customer scan
+    assert(p.contains("PushedFilters") && p.contains("BUILDING"), p.take(800))
+    assert(!p.contains("CartesianProduct"))
+    val p2 = plan(RelationalQueries.q56LocalVolume(spark, dir))
+    assert(p2.contains("BroadcastHashJoin"), p2.take(800))
+    assert(!p2.contains("CartesianProduct"))
+  }
+
   test("dimension joins broadcast the small side") {
     val p = plan(RelationalQueries.q19DimJoin(spark, dir))
     assert(p.contains("BroadcastHashJoin"), p.take(800))
