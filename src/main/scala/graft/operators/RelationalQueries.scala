@@ -896,7 +896,18 @@ object RelationalQueries {
       .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
   }
 
+  /** ROLLUP corpus inventory: per (source, lang), per source, and
+    * grand total in ONE grouping-sets pass (the partial-agg expansion
+    * happens map-side; no extra scans for the subtotal levels).
+    * grouping_id disambiguates subtotal rows from genuine nulls. */
+  def q57RollupInventory(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .rollup("source", "lang")
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n_docs"),
+        sum("n_chars").as("sum_chars"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q57_rollup_inventory" -> q57RollupInventory,
     "q55_ship_priority" -> q55ShipPriority,
     "q56_local_volume" -> q56LocalVolume,
     "q53_label_inertia" -> q53LabelInertia,
@@ -1015,6 +1026,11 @@ object RelationalQueries {
       .mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    "q57_rollup_inventory" ->
+      """SELECT source, lang, grouping(source, lang) AS gid,
+        |  count(*) AS n_docs, sum(n_chars) AS sum_chars
+        |FROM documents
+        |GROUP BY ROLLUP (source, lang)""".stripMargin,
     "q55_ship_priority" ->
       """SELECT l_orderkey, o_orderdate, o_orderpriority,
         |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
