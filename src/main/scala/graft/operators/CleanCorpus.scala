@@ -59,6 +59,27 @@ object CleanCorpus {
     TextOps.decontaminate(deduped, benchmark, idCol, textCol, shingleN)
   }
 
+  /** [[clean]] with in-flight metrics via `Dataset.observe`: the
+    * survivor count, redaction hits and output char volume are
+    * accumulated DURING whatever single action the caller runs on the
+    * returned frame (a parquet write, typically) — zero extra scans,
+    * unlike [[funnel]] which forces one job per stage. At 100 TB this
+    * is the only affordable way to get per-batch pipeline telemetry.
+    * Read the metrics after the action:
+    * `observation.get("n_docs"| "n_redacted" | "sum_chars")`. */
+  def cleanObserved(docs: DataFrame, benchmark: DataFrame,
+                    idCol: String, textCol: String,
+                    observation: org.apache.spark.sql.Observation,
+                    minQuality: Double = 0.3, minWords: Int = 5,
+                    shingleN: Int = 8): DataFrame =
+    clean(docs, benchmark, idCol, textCol, minQuality, minWords, shingleN)
+      .observe(observation,
+        count(lit(1)).as("n_docs"),
+        sum(when(col(textCol).contains("<EMAIL>")
+          || col(textCol).contains("<PHONE>")
+          || col(textCol).contains("<IP>"), 1L).otherwise(0L)).as("n_redacted"),
+        sum(length(col(textCol)).cast("long")).as("sum_chars"))
+
   /** Per-stage survivor counts — the funnel diagnostic a pipeline
     * logs per batch. Runs one job per stage (counts force the DAG),
     * so call it on samples, not the 100-TB corpus. */

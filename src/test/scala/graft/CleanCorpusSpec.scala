@@ -50,6 +50,25 @@ class CleanCorpusSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), s"unexpected cartesian in:\n$plan")
   }
 
+  test("cleanObserved collects metrics during ONE action, matching funnel's final counts") {
+    import spark.implicits._
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"))
+      .toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, prose("went home to sleep quietly under warm blankets tonight")),
+      (2L, "go stop go stop go stop go stop go stop go stop go stop go stop"),
+      (4L, prose("mailed a@b.co about the plan for tomorrow evening meal")),
+      (5L, prose("mailed c@d.io about the plan for tomorrow evening meal"))).toDF("doc_id", "text")
+    val obs = org.apache.spark.sql.Observation("clean_metrics")
+    val out = CleanCorpus.cleanObserved(docs, bench, "doc_id", "text", obs,
+      minQuality = 0.3, minWords = 5, shingleN = 8)
+    val n = out.count() // the single action; metrics ride along
+    assert(n == 2) // doc 1 + one of the PII twins
+    assert(obs.get("n_docs") == 2L)
+    assert(obs.get("n_redacted") == 1L) // the surviving twin carries <EMAIL>
+    assert(obs.get("sum_chars").asInstanceOf[Long] > 0L)
+  }
+
   test("funnel counts shrink monotonically and name every stage") {
     import spark.implicits._
     val bench = Seq((9L, "omicron pi rho sigma tau upsilon phi chi psi omega")).toDF("doc_id", "text")
