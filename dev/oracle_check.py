@@ -27,12 +27,18 @@ oracle = json.load(open(os.path.join(vout, "oracle_sql.json")))
 
 def canon(df):
     df = df.reindex(sorted(df.columns), axis=1)
-    # stringify non-numeric for stable sort
     key_cols = list(df.columns)
     df = df.copy()
     for c in df.columns:
         if df[c].dtype == object:
-            df[c] = df[c].astype(str)
+            # DuckDB HUGEINT/DECIMAL arrive as object even when Spark
+            # emits int64 — coerce numerics first so both frames sort
+            # the same way ('10' < '2' lexically), stringify the rest
+            coerced = pd.to_numeric(df[c], errors="coerce")
+            if coerced.notna().all() and len(df) > 0:
+                df[c] = coerced
+            else:
+                df[c] = df[c].astype(str)
     df = df.sort_values(key_cols, kind="mergesort").reset_index(drop=True)
     return df
 

@@ -1028,7 +1028,7 @@ object RelationalQueries {
   val oracle: Map[String, String] = Map(
     "q57_rollup_inventory" ->
       """SELECT source, lang, grouping(source, lang) AS gid,
-        |  count(*) AS n_docs, sum(n_chars) AS sum_chars
+        |  count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars
         |FROM documents
         |GROUP BY ROLLUP (source, lang)""".stripMargin,
     "q55_ship_priority" ->
@@ -1087,11 +1087,11 @@ object RelationalQueries {
         |s AS (
         |  SELECT source, doc_id, n_tokens,
         |    coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS start
         |  FROM n)
         |SELECT source, doc_id, n_tokens, start,
         |  CAST(floor(start / 512.0) AS BIGINT) AS seq_id,
-        |  start % 512 AS "offset"
+        |  (start % 512)::BIGINT AS "offset"
         |FROM s""".stripMargin,
     "q50_unigram_lp" ->
       """WITH wx AS (
