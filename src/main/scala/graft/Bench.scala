@@ -391,10 +391,25 @@ object Bench {
     //     only lose un-run phases — the r03 failure mode, where one
     //     end-of-main println lost 12 minutes of finished timings) ---
     var qJson: Option[(String, Double)] = None
+    var qTimings: Seq[(String, Double)] = Seq.empty
+    var sidecar: Option[String] = None
     var kgJson: Option[String] = None
     var pair28: Option[String] = None
     var pair832: Option[String] = None
     var aborted: Option[String] = None
+    // a prior run's successful child-protocol pair_8_32 (persisted
+    // below when both children complete): the big pair is the one
+    // phase a single degraded hypervisor window can still starve, so
+    // the last good measurement is re-emitted alongside the live one,
+    // age-stamped, clearly labeled pair_8_32_prior — never replacing it
+    val priorPath = java.nio.file.Paths.get("/tmp/graft_bench_prior_pair832.json")
+    val prior832: Option[String] =
+      try {
+        if (java.nio.file.Files.exists(priorPath))
+          Some(new String(java.nio.file.Files.readAllBytes(priorPath), "UTF-8").trim)
+            .filter(s => s.startsWith("{") && s.endsWith("}"))
+        else None
+      } catch { case _: Throwable => None }
     def fail(phase: String, e: Throwable): Unit = {
       System.err.println(s"[bench] phase $phase failed: ${e}")
       aborted = Some(s"$phase: ${Option(e.getMessage).getOrElse(e.getClass.getName).take(160)}")
@@ -407,6 +422,13 @@ object Bench {
       // compact tail-surviving summary (stderr, prefixed — see BenchJson.headline)
       System.err.println(BenchJson.headline(qJson.map(_._2), kgJson, pair28, pair832))
       System.err.flush()
+      // the COMPACT line goes LAST on every emission: the driver keeps
+      // only the final ~2000 chars of output, and this is the one line
+      // guaranteed to sit complete inside that window (the superset
+      // line above is the full record for anyone reading the log)
+      println(BenchJson.compactLine(qJson.map(_._2).getOrElse(0.0), qTimings,
+        sidecar, sfDir, kgJson, pair28, pair832, prior832, aborted))
+      System.out.flush()
     }
 
     // --- headline queries at the driver's sf dir ---
@@ -438,10 +460,18 @@ object Bench {
           (System.nanoTime() - t0) / 1e9
       }
     if (!scalingOnly) {
+      qTimings = results
       qJson = Some((
         results.map { case (k, v) => "\"" + k + "\":" + fmt(v, 3) }
           .mkString("{", ",", "}"),
         results.map(_._2).sum))
+      // full per-query map to a sidecar file (the compact line carries
+      // only the top-3 slowest; the superset stdout line has the rest)
+      try {
+        val p = java.nio.file.Paths.get("/tmp/graft_bench_queries.json")
+        java.nio.file.Files.write(p, qJson.get._1.getBytes("UTF-8"))
+        sidecar = Some(p.toString)
+      } catch { case _: Throwable => () }
       emit()
     }
     if (queriesOnly) { spark.stop(); return }
@@ -563,7 +593,38 @@ object Bench {
         walls8s.reverse, walls32s.reverse, steal8s, steal32s,
         confJson(8, bigCorpus = false, "parent", "inproc_fallback"),
         confJson(32, bigCorpus = false, "parent", "inproc_fallback"),
-        attempt = 1, fallback = Some(reason)))
+        attempt = 1, fallback = Some(s"small_corpus: $reason")))
+    }
+    /** Child-failure fallback, big corpus FIRST: the 500k bench corpus
+      * is fixed-cost-dominated (r04's recorded 0.402 measured AQE stage
+      * setup + job scheduling, not compute — the exact bias the big
+      * corpus exists to remove), while the shrunk big corpus runs
+      * in-process at the parent's 24g with the big-corpus shuffle
+      * tuning (completed at 20M turns in the r04 dry runs: 0.525-0.637
+      * shared-heap — an underestimate of the child protocol's 0.848,
+      * but an honest one measured on real compute). Small corpus stays
+      * the LAST resort when even that cannot fit the remaining wall. */
+    def bigInprocFallbackPair(reason: String): Unit = {
+      if (remaining < 350) { smallCorpusFallbackPair(s"wall low after: $reason"); return }
+      System.err.println(s"[bench] pair_8_32 falling back to big corpus in-process: $reason")
+      try {
+        val ((walls8b, _), steal8b) = withSteal(measuredRun(8, scalingDirBig, maxRuns = 4,
+          tol = 1.2, bigCorpus = true,
+          budgetSec = math.max(240.0, math.min(remaining * 0.5, 420.0)), minRuns = 2))
+        val ((walls32b, _), steal32b) = withSteal(measuredRun(32, scalingDirBig, maxRuns = 4,
+          tol = 1.2, bigCorpus = true,
+          budgetSec = math.max(120.0, math.min(remaining * 0.5, 200.0)), minRuns = 2))
+        pair832 = Some(BenchJson.pairJson(scalingConvsBig,
+          walls8b.reverse, walls32b.reverse, steal8b, steal32b,
+          confJson(8, bigCorpus = true, "parent", "inproc_fallback"),
+          confJson(32, bigCorpus = true, "parent", "inproc_fallback"),
+          attempt = 1, windowQ = Some(windowQ),
+          fallback = Some(s"big_inproc: $reason")))
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] big in-proc fallback failed (${e.getMessage}); small corpus last resort")
+          smallCorpusFallbackPair(s"big_inproc failed: $reason")
+      }
     }
     // One big-pair attempt via per-level child JVMs. On a retry
     // (attempt 2) a partially-successful attempt must not clobber an
@@ -598,8 +659,15 @@ object Bench {
           pair832 = Some(BenchJson.pairJson(scalingConvsBig,
             ws(c8), ws(c32), steal8, steal32, conf8, conf32, attempt,
             windowQ = Some(windowQ)))
+          // persist the successful child-protocol pair for future runs'
+          // pair_8_32_prior (see prior832 above), age-stamped
+          try {
+            val rec = pair832.get.dropRight(1) +
+              s""","recorded_unix":${System.currentTimeMillis() / 1000}}"""
+            java.nio.file.Files.write(priorPath, rec.getBytes("UTF-8")): Unit
+          } catch { case _: Throwable => () }
         case _ if attempt == 1 =>
-          smallCorpusFallbackPair(
+          bigInprocFallbackPair(
             s"child_32=${r32.isDefined} child_8=${r8.isDefined}")
         case _ => ()
       }

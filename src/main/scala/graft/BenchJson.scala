@@ -56,7 +56,7 @@ object BenchJson {
                fallback: Option[String] = None): String = {
     val (wallN, wall4n) = (wallsN.min, walls4n.min)
     val eff = wallN / (4.0 * wall4n)
-    val head = fallback.map(r => s""""fallback":"small_corpus: ${jsonSafe(r)}",""").getOrElse("")
+    val head = fallback.map(r => s""""fallback":"${jsonSafe(r)}",""").getOrElse("")
     val cold = if (wallsN.lengthCompare(2) < 0) ""","n_cold":true""" else ""
     val wq = windowQ.map(q => s""","window_q":${fmt(q, 2)}""").getOrElse("")
     s"""{"n_convs":$nConvs,$head"wall_n_sec":${fmt(wallN, 2)},"wall_4n_sec":${fmt(wall4n, 2)},"efficiency":${fmt(eff, 3)}$cold,"walls_n":${wallsJson(wallsN)},"walls_4n":${wallsJson(walls4n)},"steal_pct_n":${fmt(stealN, 1)},"steal_pct_4n":${fmt(steal4n, 1)},"conf_n":$confN,"conf_4n":$conf4n$wq,"attempt":$attempt}"""
@@ -114,6 +114,59 @@ object BenchJson {
       pair832.filter(_.contains("\"partial\"")).map(_ => "pair_8_32_partial=true")
     ).flatten
     "[bench] headline: " + (if (parts.isEmpty) "no phases completed" else parts.mkString(" "))
+  }
+
+  /** Bounded summary of a pair fragment (headline numbers + flags,
+    * no walls/conf arrays) for the COMPACT final line — extracted from
+    * the fragment itself so the slim and full records can never
+    * disagree. */
+  def slimPair(pair: String): String = {
+    def num(name: String) = numField(pair, name).map(v => s""""$name":$v""")
+    val mode = "\"mode\":\"([^\"]+)\"".r.findFirstMatchIn(pair)
+      .map(m => s""""mode":"${m.group(1)}"""")
+    val flags = Seq(
+      if (pair.contains("\"fallback\"")) Some(""""fallback":true""") else None,
+      if (pair.contains("\"partial\"")) Some(""""partial":true""") else None,
+      if (pair.contains("\"n_cold\"")) Some(""""n_cold":true""") else None).flatten
+    (Seq("n_convs", "efficiency", "wall_n_sec", "wall_4n_sec",
+      "steal_pct_n", "steal_pct_4n", "window_q", "attempt",
+      "recorded_unix").flatMap(num)
+      ++ mode ++ flags).mkString("{", ",", "}")
+  }
+
+  /** The COMPACT final line — the one guaranteed to fit ENTIRELY inside
+    * the driver's ~2000-char output tail (the full superset line with
+    * 77 query timings is ~3.5 KB and gets front-clipped into unparseable
+    * half-JSON: every prior round's artifact has `parsed: null`). It is
+    * printed LAST on every emission so the tail always ends with one
+    * complete, self-delimiting JSON object: totals, the top-3 slowest
+    * queries (full map in the sidecar file + the earlier superset
+    * line), kg throughput, slim scaling pairs, and any prior-run
+    * pair_8_32 measurement. */
+  def compactLine(totalSec: Double, queryTimings: Seq[(String, Double)],
+                  queriesSidecar: Option[String], sfDir: String,
+                  kg: Option[String], pair28: Option[String],
+                  pair832: Option[String], prior832: Option[String],
+                  aborted: Option[String]): String = {
+    val top3 = queryTimings.sortBy(-_._2).take(3)
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v, 3) }.mkString("{", ",", "}")
+    val scaling = (pair28, pair832) match {
+      case (None, None) => None
+      case _ => Some("{" + Seq(
+        pair28.map(p => s""""pair_2_8":${slimPair(p)}"""),
+        pair832.map(p => s""""pair_8_32":${slimPair(p)}"""),
+        prior832.map(p => s""""pair_8_32_prior":${slimPair(p)}""")).flatten.mkString(",") + "}")
+    }
+    Seq(
+      Some(s""""metric":"total","value":${fmt(totalSec, 3)},"unit":"sec""""),
+      Some(s""""n_queries":${queryTimings.size}"""),
+      Some(s""""queries":$top3"""),
+      queriesSidecar.map(p => s""""queries_file":"${jsonSafe(p)}""""),
+      Some(s""""sf":"$sfDir""""),
+      kg.map(k => s""""kg":$k"""),
+      scaling.map(sc => s""""scaling":$sc"""),
+      aborted.map(a => s""""aborted":"${jsonSafe(a)}"""")
+    ).flatten.mkString("{", ",", "}")
   }
 
   // ---- scaling-phase decisions ----------------------------------------

@@ -173,6 +173,22 @@ object SparkEntry {
         .select(col("vec_id"), col("embedding").cast("array<double>").as("evec"))
       kg.FewShots.sentenceKnnJoin(q, pool, k = 3)
     }),
+    "q58_entity_knn" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      // entity/token-kNN retrieval arm (few_shots_techniques.py:103-124)
+      // over the embeddings table: vec_id<40 are query TOKENS grouped 8
+      // tokens-per-query by content id; vec_id>=40 are training tokens,
+      // several per train row (vec_id % 97) so the dedup-by-idx merge
+      // actually fires. DuckDB-oracled.
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val q = e.filter(col("vec_id") < 40)
+        .select((col("vec_id") % 8).as("query_id"), col("vec_id").as("token_pos"),
+          col("embedding").cast("array<double>").as("qvec"))
+      val tr = e.filter(col("vec_id") >= 40)
+        .select((col("vec_id") % 97).as("train_id"),
+          col("embedding").cast("array<double>").as("tvec"))
+      kg.FewShots.entityKnnJoin(q, tr, k = 3)
+    }),
     "ann_lsh_topk" -> ((s, dir) => {
       import s.implicits._
       val e = s.read.parquet(s"$dir/embeddings.parquet")
@@ -203,5 +219,31 @@ object SparkEntry {
         |    ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 4) DESC, e.vec_id) AS rank
         | FROM embeddings e, embeddings q
         | WHERE q.vec_id < 20 AND e.vec_id >= 20)
+        |WHERE rank <= 3""".stripMargin,
+    "q58_entity_knn" ->
+      """WITH q AS (
+        |  SELECT vec_id % 8 AS query_id, vec_id AS token_pos,
+        |    embedding::DOUBLE[] AS qvec
+        |  FROM embeddings WHERE vec_id < 40),
+        |tr AS (
+        |  SELECT vec_id % 97 AS train_id, embedding::DOUBLE[] AS tvec
+        |  FROM embeddings WHERE vec_id >= 40),
+        |per AS (
+        |  SELECT query_id, token_pos, train_id,
+        |    round(list_cosine_similarity(tvec, qvec), 4) AS sim
+        |  FROM tr, q),
+        |tok AS (
+        |  SELECT query_id, train_id, sim,
+        |    row_number() OVER (PARTITION BY query_id, token_pos
+        |      ORDER BY sim DESC, train_id) AS tok_rank
+        |  FROM per),
+        |best AS (
+        |  SELECT query_id, train_id, max(sim) AS sim
+        |  FROM tok WHERE tok_rank <= 3 GROUP BY 1, 2)
+        |SELECT query_id, train_id, sim, rank FROM (
+        |  SELECT query_id, train_id, sim,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY sim DESC, train_id) AS rank
+        |  FROM best)
         |WHERE rank <= 3""".stripMargin)
 }

@@ -30,9 +30,27 @@ object TextAnalytics {
   def tokenizeBpeIsh(text: String): List[String] = BpeIshRe.findAllIn(text).toList
   def tokenCountBpeIsh(text: String): Int = BpeIshRe.findAllIn(text).length
 
-  /** Word tokens (lowercased letter runs) for langid / quality. */
-  private val WordRe = "[A-Za-zÀ-ÿ]+".r
+  /** Word tokens (lowercased letter runs) for langid / quality —
+    * keeps Latin-1 accented letters (the stopword lists carry French/
+    * German function words). The class excludes U+00D7 ×/U+00F7 ÷,
+    * which sit inside the Latin-1 letter block but are operators. */
+  private val WordRe = "[A-Za-zÀ-ÖØ-öø-ÿ]+".r
   def words(text: String): List[String] = WordRe.findAllIn(text).map(_.toLowerCase).toList
+
+  /** THE corpus-pipeline word tokenizer — the single definition shared
+    * by every kernel whose output feeds a cross-stage contract or a
+    * DuckDB oracle (repetition gates, decontamination shingles, BPE
+    * train AND encode, pack plans, unigram LM, token quantiles):
+    * lowercase, then split on non-[a-z] runs — exactly
+    * `list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '')`
+    * on the oracle side, on any input including non-ASCII (accented
+    * letters are separators in BOTH engines, so engine-vs-oracle and
+    * stage-vs-stage tokenizations agree by construction; [[words]]
+    * stays the accent-keeping variant for the langid/quality
+    * HEURISTICS, whose oracles embed its output, not its tokenizer). */
+  def pipelineWords(text: String): List[String] =
+    text.toLowerCase(java.util.Locale.ROOT).split("[^a-z]+").iterator
+      .filter(_.nonEmpty).toList
 
   // Small public stopword lists (top function words per language).
   private val Stopwords: Map[String, Set[String]] = Map(

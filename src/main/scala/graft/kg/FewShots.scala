@@ -144,6 +144,38 @@ object FewShots {
       .select("query_id", "vec_id", "sim", "rank")
   }
 
+  /** Fully distributed entity/token-kNN as a pure DataFrame plan — the
+    * oracle twin of [[entityKnn]] (few_shots_techniques.py:103-124):
+    * stage 1: per query TOKEN, top-k over the training-token SCAN
+    * (bounded query-token set broadcast, train tokens never collected);
+    * stage 2: the reference's merge — best score per (query, train
+    * row) [= dedup-by-idx keeping the best occurrence], global rank
+    * per query by score, truncate to k. Similarity is rounded BEFORE
+    * ranking so the (sim DESC, train_id ASC) order reproduces across
+    * engines; equal-(sim, train_id) candidates are interchangeable
+    * downstream (they collapse in the max-per-train-row merge), so the
+    * plan is deterministic at any parallelism.
+    *
+    * queryTokens: (query_id long, token_pos long, qvec array<double>) — broadcast;
+    * trainTokens: (train_id long, tvec array<double>) — the scan side.
+    */
+  def entityKnnJoin(queryTokens: DataFrame, trainTokens: DataFrame, k: Int): DataFrame = {
+    val dot = expr("aggregate(zip_with(tvec, qvec, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
+    val na = expr("aggregate(tvec, 0D, (acc, v) -> acc + v * v)")
+    val nb = expr("aggregate(qvec, 0D, (acc, v) -> acc + v * v)")
+    val wTok = Window.partitionBy("query_id", "token_pos")
+      .orderBy(col("sim").desc, col("train_id"))
+    val perToken = trainTokens.join(broadcast(queryTokens))
+      .withColumn("sim", round(dot / sqrt(na * nb), 4))
+      .withColumn("tok_rank", row_number().over(wTok))
+      .filter(col("tok_rank") <= k)
+    val best = perToken.groupBy("query_id", "train_id").agg(max("sim").as("sim"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("train_id"))
+    best.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "train_id", "sim", "rank")
+  }
+
   /** The memo effect of few_shots_save: score each distinct query
     * text once, join results back to all occurrences. */
   def withMemo[T](queries: DataFrame, textCol: String)(score: DataFrame => DataFrame): DataFrame = {

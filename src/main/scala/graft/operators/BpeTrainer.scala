@@ -87,7 +87,9 @@ object BpeTrainer {
       .mapPartitions { it =>
         val ms = bc.value
         it.map { case (id, t) =>
-          val ws = graft.functions.TextAnalytics.words(if (t == null) "" else t)
+          // the SAME tokenization the histogram trained on
+          // (wordHistogram's split(lower, "[^a-z]+"))
+          val ws = graft.functions.TextAnalytics.pipelineWords(if (t == null) "" else t)
           (id, ws.map(w => encodeWord(w, ms).length.toLong).sum)
         }
       }

@@ -35,7 +35,20 @@ object CleanCorpus {
   def clean(docs: DataFrame, benchmark: DataFrame,
             idCol: String, textCol: String,
             minQuality: Double = 0.3, minWords: Int = 5,
-            shingleN: Int = 8): DataFrame = {
+            shingleN: Int = 8): DataFrame =
+    cleanPipeline(docs, benchmark, idCol, textCol, minQuality, minWords,
+      shingleN, piiFlag = false)
+
+  /** The shared five-stage DAG. With `piiFlag`, a `__had_pii` long
+    * column (1 when the RAW text matched any PII pattern, measured
+    * BEFORE redaction — a doc legitimately containing the literal
+    * `<EMAIL>` tag does not count) rides through the pipeline for
+    * [[cleanObserved]]'s metric; plain [[clean]] skips the extra
+    * regexp_counts entirely. */
+  private def cleanPipeline(docs: DataFrame, benchmark: DataFrame,
+                            idCol: String, textCol: String,
+                            minQuality: Double, minWords: Int,
+                            shingleN: Int, piiFlag: Boolean): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val keepIds = docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
@@ -48,7 +61,11 @@ object CleanCorpus {
         }
       }).toDF("__keep_id")
     val gated = docs.join(keepIds, docs(idCol).cast("long") === col("__keep_id"), "left_semi")
-    val scrubbed = gated.withColumn(textCol, Privacy.redacted(col(textCol)))
+    val flagged = if (!piiFlag) gated else gated.withColumn("__had_pii",
+      when(regexp_count(col(textCol), lit(Privacy.EmailRe))
+        + regexp_count(col(textCol), lit(Privacy.PhoneRe))
+        + regexp_count(col(textCol), lit(Privacy.Ipv4Re)) > 0, 1L).otherwise(0L))
+    val scrubbed = flagged.withColumn(textCol, Privacy.redacted(col(textCol)))
     // exact dedup on the REDACTED text, min-id representative
     val reps = scrubbed
       .select(col(idCol).cast("long").as("__id"), md5(col(textCol)).as("__h"))
@@ -72,13 +89,17 @@ object CleanCorpus {
                     observation: org.apache.spark.sql.Observation,
                     minQuality: Double = 0.3, minWords: Int = 5,
                     shingleN: Int = 8): DataFrame =
-    clean(docs, benchmark, idCol, textCol, minQuality, minWords, shingleN)
+    cleanPipeline(docs, benchmark, idCol, textCol, minQuality, minWords,
+      shingleN, piiFlag = true)
       .observe(observation,
         count(lit(1)).as("n_docs"),
-        sum(when(col(textCol).contains("<EMAIL>")
-          || col(textCol).contains("<PHONE>")
-          || col(textCol).contains("<IP>"), 1L).otherwise(0L)).as("n_redacted"),
+        // surviving docs whose RAW text contained PII (flag computed
+        // upstream of redaction — see cleanPipeline; counting the
+        // literal tags post-hoc would also count docs that legitimately
+        // contained '<EMAIL>' and measures docs-touched either way)
+        sum(col("__had_pii")).as("n_redacted"),
         sum(length(col(textCol)).cast("long")).as("sum_chars"))
+      .drop("__had_pii")
 
   /** Per-stage survivor counts — the funnel diagnostic a pipeline
     * logs per batch. Runs one job per stage (counts force the DAG),

@@ -129,7 +129,7 @@ object TextOps {
   /** Pure per-text repetition kernel — the single definition both the
     * batch operator and the streaming clean share. */
   def repetitionOf(id: Long, text0: String): RepetitionProfile = {
-    val ws = TextAnalytics.words(if (text0 == null) "" else text0).toArray
+    val ws = TextAnalytics.pipelineWords(if (text0 == null) "" else text0).toArray
     val nw = ws.length
     val distinctR = if (nw == 0) 0.0 else ws.distinct.length.toDouble / nw
     val top2 = topFrac(ws, 2)
@@ -157,7 +157,7 @@ object TextOps {
     import spark.implicits._
     docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
       .flatMap { case (id, t) =>
-        val ws = TextAnalytics.words(if (t == null) "" else t)
+        val ws = TextAnalytics.pipelineWords(if (t == null) "" else t)
         val seen = scala.collection.mutable.LinkedHashSet.empty[String]
         ws.sliding(n).withFilter(_.length == n).foreach(g => seen += g.mkString(" "))
         seen.iterator.map(s => (id, s))
@@ -188,9 +188,11 @@ object TextOps {
   }
 
   /** The decontamination FILTER: corpus rows whose doc shares no word
-    * n-gram with the benchmark (left_anti against the contaminated-id
-    * set; the broadcast structure of [[contaminationStats]] carries
-    * over). */
+    * n-gram with the benchmark. Only the BENCHMARK shingle side is
+    * broadcast (eval sets are small by contract); the contaminated-id
+    * set derives from the CORPUS and scales with corpus contamination,
+    * so the anti-join strategy is left to AQE — a forced broadcast
+    * there can OOM executors at the 100-TB design point. */
   def decontaminate(corpus: DataFrame, benchmark: DataFrame,
                     idCol: String, textCol: String, n: Int = 8): DataFrame = {
     // leaner than contaminationStats for the FILTER purpose: no
@@ -198,6 +200,6 @@ object TextOps {
     val bad = wordShingles(corpus, idCol, textCol, n)
       .join(broadcast(wordShingles(benchmark, idCol, textCol, n).select("shingle")), "shingle")
       .select(col("doc_id").as("__bad_id")).distinct()
-    corpus.join(broadcast(bad), corpus(idCol).cast("long") === col("__bad_id"), "left_anti")
+    corpus.join(bad, corpus(idCol).cast("long") === col("__bad_id"), "left_anti")
   }
 }

@@ -216,7 +216,7 @@ object StreamingExtraction {
     val spark = docs.sparkSession
     import spark.implicits._
     def shingles(text: String): Iterator[String] =
-      graft.functions.TextAnalytics.words(if (text == null) "" else text)
+      graft.functions.TextAnalytics.pipelineWords(if (text == null) "" else text)
         .sliding(shingleN).withFilter(_.length == shingleN).map(_.mkString(" ")).iterator
     val benchSet = benchmark.flatMap(shingles).toSet
     val bc = spark.sparkContext.broadcast(benchSet)

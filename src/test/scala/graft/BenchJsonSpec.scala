@@ -65,11 +65,54 @@ class BenchJsonSpec extends AnyFunSuite {
   }
 
   test("pairJson: fallback reason with quotes and backslashes stays parseable") {
-    val reason = """child_32=false: say "boom" C:\tmp"""
+    val reason = """small_corpus: child_32=false: say "boom" C:\tmp"""
     val n = parse(BenchJson.pairJson(500000L, Seq(45.0, 44.0, 43.5), Seq(12.5, 12.0, 11.8),
       0.0, 0.0, confN, conf4n, attempt = 1, fallback = Some(reason)))
     assert(n.get("fallback").asText.startsWith("small_corpus: "))
     assert(!n.get("fallback").asText.contains("\"") && !n.get("fallback").asText.contains("\\"))
+  }
+
+  test("slimPair keeps headline numbers + flags, drops walls/conf, stays parseable") {
+    val full = BenchJson.pairJson(2000000L, Seq(396.7, 112.1), Seq(327.6, 69.2, 33.0),
+      0.9, 1.4, confN, conf4n, attempt = 2, windowQ = Some(1.02),
+      fallback = Some("big_inproc: child_32=false"))
+    val n = parse(BenchJson.slimPair(full))
+    assert(n.get("n_convs").asLong == 2000000L)
+    assert(math.abs(n.get("efficiency").asDouble - 112.1 / (4 * 33.0)) < 1e-3)
+    assert(n.get("wall_n_sec").asDouble == 112.1 && n.get("wall_4n_sec").asDouble == 33.0)
+    assert(n.get("window_q").asDouble == 1.02 && n.get("attempt").asInt == 2)
+    assert(n.get("mode").asText == "child")
+    assert(n.get("fallback").asBoolean)
+    assert(!n.has("walls_n") && !n.has("conf_n") && !n.has("conf_4n"))
+    // a prior record carries its age stamp through
+    val aged = full.dropRight(1) + ""","recorded_unix":1755500000}"""
+    assert(parse(BenchJson.slimPair(aged)).get("recorded_unix").asLong == 1755500000L)
+  }
+
+  test("compactLine: complete JSON well under the 2000-char tail window") {
+    val kg = BenchJson.kgThroughputJson(500000L, 4999935L, 8079496L, 7.12)
+    val p28 = BenchJson.pairJson(500000L, Seq(45.6, 46.0, 47.1), Seq(12.5, 12.8, 14.2),
+      0.0, 0.0, confN, conf4n, attempt = 1)
+    val p832 = BenchJson.pairJson(2000000L, Seq(112.1, 115.0), Seq(33.0, 34.1),
+      0.9, 1.4, confN, conf4n, attempt = 1, windowQ = Some(1.02))
+    val prior = p832.dropRight(1) + ""","recorded_unix":1755500000}"""
+    val timings = (1 to 77).map(i => (f"q$i%02d_something_long_named", 0.1 + i * 0.01))
+    val line = BenchJson.compactLine(60.6, timings, Some("/tmp/graft_bench_queries.json"),
+      "/root/testdata/sf0.1", Some(kg), Some(p28), Some(p832), Some(prior),
+      aborted = Some("""pair_2_8_retry: "boom""""))
+    assert(line.length < 1500, s"compact line too long: ${line.length}")
+    val n = parse(line)
+    assert(n.get("metric").asText == "total" && n.get("value").asDouble == 60.6)
+    assert(n.get("n_queries").asInt == 77)
+    assert(n.get("queries").size == 3) // top-3 slowest only
+    assert(n.get("queries").has("q77_something_long_named"))
+    assert(n.get("scaling").get("pair_2_8").get("efficiency").asDouble > 0.8)
+    assert(n.get("scaling").get("pair_8_32").get("window_q").asDouble == 1.02)
+    assert(n.get("scaling").get("pair_8_32_prior").get("recorded_unix").asLong == 1755500000L)
+    assert(n.get("queries_file").asText == "/tmp/graft_bench_queries.json")
+    // no-scaling snapshot (first emission) is also complete JSON
+    val early = BenchJson.compactLine(0.0, Seq.empty, None, "/sf", None, None, None, None, None)
+    assert(parse(early).get("n_queries").asInt == 0)
   }
 
   test("partialPairJson records the 4N level alone") {

@@ -65,7 +65,8 @@ class CleanCorpusSpec extends AnyFunSuite {
     val n = out.count() // the single action; metrics ride along
     assert(n == 2) // doc 1 + one of the PII twins
     assert(obs.get("n_docs") == 2L)
-    assert(obs.get("n_redacted") == 1L) // the surviving twin carries <EMAIL>
+    assert(obs.get("n_redacted") == 1L) // the surviving twin's RAW text had PII
+    assert(!out.columns.contains("__had_pii")) // metric column does not leak
     assert(obs.get("sum_chars").asInstanceOf[Long] > 0L)
   }
 

@@ -61,4 +61,26 @@ class FewShotsSpec extends AnyFunSuite {
     }
     got.foreach { s => assert(math.abs(s.sim - expectBest(s.train_id)) < 1e-12) }
   }
+
+  test("entityKnnJoin (distributed DataFrame form) ≡ typed entityKnn") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val trainTokens = (0 until 48).map(i => ((i / 4).toLong, vec())).toArray // 12 rows × 4 tokens
+    val qTokens = (0 until 9).map(i => ((i % 3).toLong, i, vec())) // 3 queries × 3 tokens
+    val trDf = trainTokens.toSeq.toDF("train_id", "tvec")
+      .select(col("train_id"), col("tvec").cast("array<double>").as("tvec"))
+    val qDf = qTokens.toDF("query_id", "token_pos", "qvec")
+      .select(col("query_id"), col("token_pos").cast("long").as("token_pos"),
+        col("qvec").cast("array<double>").as("qvec"))
+    val joined = FewShots.entityKnnJoin(qDf, trDf, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+      .groupBy(_._1).map { case (q, xs) => q -> xs.sortBy(_._3).map(_._2).toSeq }
+    val typed = FewShots.entityKnn(qTokens.toDS(), trainTokens, k = 3)
+      .collect().groupBy(_.query_id)
+      .map { case (q, shots) => q -> shots.sortBy(_.rank).map(_.train_id).toSeq }
+    // same neighbor rows in the same rank order per query (4-decimal
+    // rounding cannot flip a gaussian-vector order at these magnitudes;
+    // the tie-break is (sim DESC, train_id ASC) in both arms)
+    assert(joined == typed)
+  }
 }

@@ -46,7 +46,7 @@ class PipelineKernelPropertySpec extends AnyFunSuite {
       assert(r.top3gram_frac >= 0 && r.top3gram_frac <= 1)
       assert(r.dup5gram_frac >= 0 && r.dup5gram_frac <= 1)
       // a text repeated 8x must trip at least one gate (if non-trivial)
-      val words = graft.functions.TextAnalytics.words(t)
+      val words = graft.functions.TextAnalytics.pipelineWords(t)
       if (words.size >= 2) {
         val looped = Seq.fill(8)(t).mkString(" ")
         assert(TextOps.repetitionOf(2L, looped).repetitive == 1, s"loop not gated: $t")
