@@ -906,7 +906,64 @@ object RelationalQueries {
       .agg(grouping_id().as("gid"), count(lit(1)).as("n_docs"),
         sum("n_chars").as("sum_chars"))
 
+  /** CUBE inventory — all four grouping-set levels of (source, lang)
+    * in ONE pass (q57's ROLLUP sibling; the same map-side partial-agg
+    * expansion covers the extra lang-only level, no extra scan). */
+  def q59CubeInventory(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .cube("source", "lang")
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n_docs"),
+        sum("n_chars").as("sum_chars"))
+
+  /** Windowed dedup — keep the FIRST row per key ordered by
+    * (ts, event_id): the CDC/corpus-refresh "latest/first version per
+    * key" shape. One shuffle on the dedup key; the deterministic
+    * two-column order makes the survivor engine-independent under
+    * timestamp ties. */
+  def q60WindowDedup(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    t(spark, dir, "events")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("user_id", "event_type", "event_id", "ts", "value")
+  }
+
+  /** As-of join over the events table: every event looks up the most
+    * recent prior-or-equal "marker" event of the same user (markers =
+    * the deterministic event_id%10 subset, pre-aggregated unique per
+    * (user, ts) as [[AsOf.asOfJoin]] requires). DuckDB twin is a
+    * literal ASOF LEFT JOIN. */
+  def q61AsOfJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val markers = ev.filter(col("event_id") % 10 === 0)
+      .groupBy("user_id", "ts").agg(min("event_id").as("marker_id"))
+    AsOf.asOfJoin(ev.select("event_id", "user_id", "ts", "event_type"),
+      markers, Seq("user_id"), "ts")
+  }
+
+  /** Bucketed range join: events counted into per-user 2-hour
+    * "campaign" windows opened by the event_id%20 subset — the
+    * interval-containment shape (sessions, validity windows, campaign
+    * attribution) that naively plans as a cartesian. One equi-shuffle
+    * on (user, time-bin); see [[RangeJoin.bucketed]]. */
+  def q62RangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val intervals = ev.filter(col("event_id") % 20 === 0)
+      .select(col("event_id").as("campaign_id"), col("user_id"),
+        col("ts").as("start_ts"),
+        (col("ts") + expr("INTERVAL 2 HOURS")).as("end_ts"))
+    RangeJoin.bucketed(ev.select("event_id", "user_id", "ts"), intervals,
+      Seq("user_id"), "ts", "start_ts", "end_ts", binSeconds = 7200L)
+      .groupBy(col("i_campaign_id").as("campaign_id"))
+      .agg(count(lit(1)).as("n_events"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q61_asof_join" -> q61AsOfJoin,
+    "q62_range_join" -> q62RangeJoin,
+    "q59_cube_inventory" -> q59CubeInventory,
+    "q60_window_dedup" -> q60WindowDedup,
     "q57_rollup_inventory" -> q57RollupInventory,
     "q55_ship_priority" -> q55ShipPriority,
     "q56_local_volume" -> q56LocalVolume,
@@ -1026,6 +1083,35 @@ object RelationalQueries {
       .mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    "q61_asof_join" ->
+      """WITH r AS (
+        |  SELECT user_id, ts, min(event_id) AS marker_id
+        |  FROM events WHERE event_id % 10 = 0 GROUP BY 1, 2)
+        |SELECT l.event_id, l.user_id, l.ts, l.event_type,
+        |  r.marker_id AS r_marker_id, r.ts AS r_ts
+        |FROM events l ASOF LEFT JOIN r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
+    "q62_range_join" ->
+      """WITH i AS (
+        |  SELECT event_id AS campaign_id, user_id, ts AS start_ts,
+        |    ts + INTERVAL 2 HOUR AS end_ts
+        |  FROM events WHERE event_id % 20 = 0)
+        |SELECT i.campaign_id, count(*) AS n_events
+        |FROM i JOIN events e ON e.user_id = i.user_id
+        |  AND e.ts >= i.start_ts AND e.ts <= i.end_ts
+        |GROUP BY 1""".stripMargin,
+    "q59_cube_inventory" ->
+      """SELECT source, lang, grouping(source, lang) AS gid,
+        |  count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars
+        |FROM documents
+        |GROUP BY CUBE (source, lang)""".stripMargin,
+    "q60_window_dedup" ->
+      """SELECT user_id, event_type, event_id, ts, value FROM (
+        |  SELECT user_id, event_type, event_id, ts, value,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |      ORDER BY ts, event_id) AS rn
+        |  FROM events)
+        |WHERE rn = 1""".stripMargin,
     "q57_rollup_inventory" ->
       """SELECT source, lang, grouping(source, lang) AS gid,
         |  count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars
