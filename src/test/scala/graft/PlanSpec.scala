@@ -72,6 +72,30 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("as-of join plan: one window over the union, no join operator at all") {
+    val p = plan(RelationalQueries.q61AsOfJoin(spark, dir))
+    assert(!p.contains("CartesianProduct"), "as-of must not range-theta-join")
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "union-tag form needs no join: the window carries the payload")
+    assert(p.contains("Window"), "the running-last window must appear")
+    assert(p.contains("Union"), "tagged union of both sides expected")
+  }
+
+  test("range join plan: equi-join on (key, bin), never a nested loop") {
+    val p = plan(RelationalQueries.q62RangeJoin(spark, dir))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "range predicate must ride the bin equi-join, not a nested loop")
+  }
+
+  test("entity-kNN join broadcasts the bounded query-token side") {
+    val p = plan(SparkEntry.queries("q58_entity_knn")(spark, dir))
+    assert(p.contains("BroadcastNestedLoopJoin"), "query tokens must broadcast")
+    assert(p.contains("PushedFilters"), "train-side vec_id filter must reach the scan")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("blocked linking candidates come from an equi-join on block keys") {
     import spark.implicits._
     val values = Lexicon.People.take(30).map(s => (s, 1L)).toDS()
