@@ -511,11 +511,9 @@ object Bench {
     // driver-side state grows with the corpus.
     val scalingConvsBig0 = sys.env.getOrElse("SPARK_GRAFT_SCALING_CONVS_BIG",
       "2000000").toLong
-    // Degraded-window shrink, floored at 2× the small corpus (below
-    // that the ratio measures fixed cost, not compute — the same bias
-    // the big corpus exists to remove). r04 data: a 2M-conv 32-core
-    // child timed out with ZERO reps at 890 s in a 4.5× window, while
-    // the same protocol completed first try in a clean one.
+    // Degraded-window shrink, floored at 4× the small corpus = 2M
+    // convs at defaults (see BenchJson.shrinkBigCorpus — the r5 dry
+    // runs showed a 1M-conv pair measures fixed cost, not compute).
     val scalingConvsBig =
       BenchJson.shrinkBigCorpus(windowQ, scalingConvs, scalingConvsBig0)
     if (scalingConvsBig != scalingConvsBig0)
@@ -645,7 +643,11 @@ object Bench {
       // children at all right now — the r04 dry run burned 1753 s
       // on two doomed children in a degraded hypervisor window.
       // If the cheap level yields nothing, skip the expensive one.
-      val budget32 = math.max(200.0, math.min((remaining - retryReserve) * 0.45, 700.0))
+      // caps sized so a full big-pair attempt leaves retry headroom:
+      // warm 2M-conv reps are ~25-60 s (32c) / ~45-120 s (8c), and the
+      // guaranteed second rep makes even a 400 s degraded rep 1
+      // recoverable inside these budgets (+500 s child deadline margin)
+      val budget32 = math.max(200.0, math.min((remaining - retryReserve) * 0.45, 500.0))
       val (r32, steal32) = withSteal(bigChildLevel(32, scalingDirBig, maxRuns = 6,
         tol = 1.12, budgetSec = budget32))
       // a kill between the two children must not lose the measured level
@@ -657,7 +659,7 @@ object Bench {
       }
       val (r8, steal8) = r32 match {
         case Some(_) =>
-          val budget8 = math.max(300.0, math.min(remaining - retryReserve - 60.0, 900.0))
+          val budget8 = math.max(300.0, math.min(remaining - retryReserve - 60.0, 600.0))
           withSteal(bigChildLevel(8, scalingDirBig, maxRuns = 4, tol = 1.25,
             budgetSec = budget8))
         case None => (None, -1.0)

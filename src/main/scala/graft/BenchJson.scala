@@ -179,14 +179,17 @@ object BenchJson {
   def windowQuality(queriesTotalSec: Option[Double], nominalSec: Double = 60.0): Double =
     queriesTotalSec.map(_ / nominalSec).getOrElse(1.0)
 
-  /** Degraded-window corpus shrink for the big pair, floored at 2× the
-    * small corpus (below that the ratio measures fixed cost, not
-    * compute — the same bias the big corpus exists to remove). r04
-    * data: a 2M-conv 32-core child timed out with ZERO reps at 890 s
-    * in a 4.5× window, while the same protocol completed first try in
-    * a clean one. */
+  /** Degraded-window corpus shrink for the big pair, floored at 4× the
+    * small corpus (the r5 dry runs measured 0.426 on a 1M-conv shrunk
+    * pair where an 8-core warm rep is ~25 s and ~6 s of fixed cost
+    * poisons the ratio — below ~2M convs the pair measures fixed cost,
+    * the same bias the big corpus exists to remove; with per-rep
+    * handshakes + guaranteed second reps a degraded 2M-conv child now
+    * yields a measurement instead of timing out, so the floor is safe).
+    * Never grows the corpus past the configured size. */
   def shrinkBigCorpus(windowQ: Double, smallConvs: Long, bigConvs0: Long): Long =
-    if (windowQ > 1.8) math.max(smallConvs * 2, bigConvs0 / 2) else bigConvs0
+    if (windowQ > 1.8) math.min(bigConvs0, math.max(smallConvs * 4, bigConvs0 / 2))
+    else bigConvs0
 
   /** Wall-budget headroom reserved ahead of the big pair so a
     * sub-bar pair_2_8 can re-measure in a possibly-cleaner late

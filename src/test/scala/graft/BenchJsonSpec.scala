@@ -150,12 +150,15 @@ class BenchJsonSpec extends AnyFunSuite {
     assert(math.abs(BenchJson.windowQuality(Some(45.0)) - 0.75) < 1e-9)
   }
 
-  test("shrinkBigCorpus: shrinks only in degraded windows, floored at 2x small") {
+  test("shrinkBigCorpus: shrinks only in degraded windows, floored at 4x small, capped at big") {
     assert(BenchJson.shrinkBigCorpus(1.0, 500000L, 2000000L) == 2000000L)
     assert(BenchJson.shrinkBigCorpus(1.8, 500000L, 2000000L) == 2000000L)
-    assert(BenchJson.shrinkBigCorpus(5.1, 500000L, 2000000L) == 1000000L)
-    // floor: big/2 would fall below 2x small
-    assert(BenchJson.shrinkBigCorpus(3.0, 500000L, 1500000L) == 1000000L)
+    // the default 2M-conv big pair never shrinks below the 2M floor
+    assert(BenchJson.shrinkBigCorpus(5.1, 500000L, 2000000L) == 2000000L)
+    // a larger configured corpus halves normally
+    assert(BenchJson.shrinkBigCorpus(3.0, 500000L, 10000000L) == 5000000L)
+    // the floor never GROWS the corpus past the configured size
+    assert(BenchJson.shrinkBigCorpus(3.0, 500000L, 1500000L) == 1500000L)
   }
 
   test("headline: compact, prefixed, carries each completed phase's key number") {
