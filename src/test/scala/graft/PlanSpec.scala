@@ -96,6 +96,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("rank-limit pushdown: row_number<=k windows prune candidates BEFORE the shuffle") {
+    // Spark 3.5+ inserts WindowGroupLimit (partial, map-side) under a
+    // rank filter — so the kNN windows shuffle only ~k candidates per
+    // group, not the full broadcast-join product. This is what makes
+    // the window-based oracle twins scale-shaped, not just correct.
+    val p58 = plan(SparkEntry.queries("q58_entity_knn")(spark, dir))
+    assert(p58.contains("WindowGroupLimit"), p58.take(1200))
+    val p02 = plan(RelationalQueries.q02TopkWindow(spark, dir))
+    assert(p02.contains("WindowGroupLimit"), p02.take(1200))
+  }
+
   test("blocked linking candidates come from an equi-join on block keys") {
     import spark.implicits._
     val values = Lexicon.People.take(30).map(s => (s, 1L)).toDS()
