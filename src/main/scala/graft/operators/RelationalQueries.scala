@@ -959,7 +959,22 @@ object RelationalQueries {
       .agg(count(lit(1)).as("n_events"))
   }
 
+  /** Semi-structured extraction: parse the events table's JSON `props`
+    * column ONCE with a declared schema (`from_json` stays inside
+    * whole-stage codegen; schema-on-read, no UDF, no regex) and
+    * aggregate the extracted field per event type. The at-scale shape
+    * for JSON payload columns: one typed parse in the scan projection,
+    * partial-aggable groupBy. */
+  def q63JsonExtract(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .select(col("event_type"),
+        expr("from_json(props, 'k BIGINT').k").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+        round(avg("k"), 6).as("avg_k"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q63_json_extract" -> q63JsonExtract,
     "q61_asof_join" -> q61AsOfJoin,
     "q62_range_join" -> q62RangeJoin,
     "q59_cube_inventory" -> q59CubeInventory,
@@ -1083,6 +1098,11 @@ object RelationalQueries {
       .mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    "q63_json_extract" ->
+      """SELECT event_type, count(*) AS n,
+        |  sum(CAST(props->>'k' AS BIGINT))::BIGINT AS sum_k,
+        |  round(avg(CAST(props->>'k' AS BIGINT)), 6) AS avg_k
+        |FROM events GROUP BY 1""".stripMargin,
     "q61_asof_join" ->
       """WITH r AS (
         |  SELECT user_id, ts, min(event_id) AS marker_id
