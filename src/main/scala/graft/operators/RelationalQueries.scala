@@ -973,7 +973,25 @@ object RelationalQueries {
       .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
         round(avg("k"), 6).as("avg_k"))
 
+  /** Cardinality telemetry — the per-partition-sketch shape a 100-TB
+    * pipeline uses for distinct counts. The oracled columns are the
+    * EXACT distincts (countDistinct plans as a two-phase hash
+    * aggregate: per-partition distinct-collapse, then ONE shuffle of
+    * the collapsed keys). The mergeable estimators whose bits DuckDB
+    * cannot reproduce — hll_sketch_agg/hll_union_agg (Apache
+    * DataSketches, the re-aggregatable store-a-sketch-per-day shape)
+    * and approx_count_distinct (HLL++) — are gated in SketchSpec
+    * within their published error bounds against these exact values. */
+  def q64DistinctUsers(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        countDistinct(to_date(col("ts"))).as("n_days"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q64_distinct_users" -> q64DistinctUsers,
     "q63_json_extract" -> q63JsonExtract,
     "q61_asof_join" -> q61AsOfJoin,
     "q62_range_join" -> q62RangeJoin,
@@ -1098,6 +1116,11 @@ object RelationalQueries {
       .mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    "q64_distinct_users" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  count(DISTINCT user_id) AS n_users,
+        |  count(DISTINCT CAST(ts AS DATE)) AS n_days
+        |FROM events GROUP BY 1""".stripMargin,
     "q63_json_extract" ->
       """SELECT event_type, count(*) AS n,
         |  sum(CAST(props->>'k' AS BIGINT))::BIGINT AS sum_k,
