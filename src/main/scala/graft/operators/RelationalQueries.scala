@@ -990,7 +990,72 @@ object RelationalQueries {
         countDistinct(col("user_id")).as("n_users"),
         countDistinct(to_date(col("ts"))).as("n_days"))
 
+  /** Bloom-pruned semi join (see [[BloomPrune]]): activity of users
+    * who ever made a high-value purchase. The bloom stage prunes the
+    * fact scan map-side before any shuffle; the trailing exact semi
+    * join makes the composition ≡ the oracle's `IN` subquery. */
+  def q65BloomPrune(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val keys = ev.filter(col("event_type") === "purchase" && col("value") > lit(150.0))
+      .select("user_id").distinct()
+    BloomPrune.semiJoinLong(ev, "user_id", keys, "user_id", expectedItems = 1L << 20)
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+  }
+
+  /** Time-bucketed downsampling (per-hour OHLC-style rollup): n /
+    * min / max / first / last value per (event_type, hour). first and
+    * last ride `min_by`/`max_by` over a (ts, event_id) struct — a
+    * partial-aggregable single-shuffle plan (two-phase SortAggregate:
+    * the struct buffer rules out hash agg, but the map side still
+    * collapses each split to ≤|groups| rows before the shuffle),
+    * where the naive window row_number spelling (the oracle's) would
+    * shuffle every row and sort whole groups. At
+    * 100 TB this is the telemetry-compaction shape: map-side combine
+    * collapses each input split to ≤|groups| rows before the shuffle. */
+  def q66TimeBuckets(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        round(min("value"), 6).as("vmin"),
+        round(max("value"), 6).as("vmax"),
+        round(min_by(col("value"), struct(col("ts"), col("event_id"))), 6).as("v_first"),
+        round(max_by(col("value"), struct(col("ts"), col("event_id"))), 6).as("v_last"))
+
+  /** PMI edge weighting over event types co-occurring in a
+    * (user, day) context — the KG-construction step that turns
+    * co-occurrence counts into association strengths (edge weights).
+    * Scale shape: contexts are built with ONE groupBy + collect_set
+    * (bounded by the event-type domain), pairs are emitted in-place
+    * with array `transform`/`slice` (no self-join — the oracle's
+    * self-join spelling rescans and reshuffles the context table),
+    * and the marginals are a tiny broadcast + one-row cross barrier. */
+  def q67EventPmi(spark: SparkSession, dir: String): DataFrame = {
+    val ue = t(spark, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("d"), col("event_type"))
+      .distinct()
+    val ctx = ue.groupBy("user_id", "d")
+      .agg(sort_array(collect_set(col("event_type"))).as("types"))
+    val nCtx = ctx.agg(count(lit(1)).as("n_ctx"))
+    val marginals = ue.groupBy("event_type").agg(count(lit(1)).as("n_t"))
+    val pairs = ctx.select(explode(expr(
+        "flatten(transform(types, (x, i) -> " +
+          "transform(slice(types, i + 2, size(types)), y -> struct(x AS ea, y AS eb))))"))
+        .as("p"))
+      .select(col("p.ea").as("ea"), col("p.eb").as("eb"))
+      .groupBy("ea", "eb").agg(count(lit(1)).as("nab"))
+    pairs
+      .join(broadcast(marginals.select(col("event_type").as("ea"), col("n_t").as("na"))), Seq("ea"))
+      .join(broadcast(marginals.select(col("event_type").as("eb"), col("n_t").as("nb"))), Seq("eb"))
+      .crossJoin(nCtx)
+      .select(col("ea"), col("eb"), col("nab"),
+        round(log((col("nab").cast("double") * col("n_ctx")) /
+          (col("na").cast("double") * col("nb"))), 6).as("pmi"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q65_bloom_prune" -> q65BloomPrune,
+    "q66_time_buckets" -> q66TimeBuckets,
+    "q67_event_pmi" -> q67EventPmi,
     "q64_distinct_users" -> q64DistinctUsers,
     "q63_json_extract" -> q63JsonExtract,
     "q61_asof_join" -> q61AsOfJoin,
@@ -1116,6 +1181,40 @@ object RelationalQueries {
       .mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    "q65_bloom_prune" ->
+      """SELECT event_type, count(*) AS n FROM events
+        |WHERE user_id IN (SELECT user_id FROM events
+        |                  WHERE event_type = 'purchase' AND value > 150.0)
+        |GROUP BY 1""".stripMargin,
+    "q66_time_buckets" ->
+      """WITH b AS (SELECT event_type, date_trunc('hour', ts) AS bucket,
+        |                  value, ts, event_id FROM events),
+        |r AS (SELECT *,
+        |  row_number() OVER (PARTITION BY event_type, bucket
+        |                     ORDER BY ts, event_id) AS rn_a,
+        |  row_number() OVER (PARTITION BY event_type, bucket
+        |                     ORDER BY ts DESC, event_id DESC) AS rn_d
+        |  FROM b)
+        |SELECT event_type, bucket, count(*) AS n,
+        |  round(min(value), 6) AS vmin, round(max(value), 6) AS vmax,
+        |  round(max(CASE WHEN rn_a = 1 THEN value END), 6) AS v_first,
+        |  round(max(CASE WHEN rn_d = 1 THEN value END), 6) AS v_last
+        |FROM r GROUP BY 1, 2""".stripMargin,
+    "q67_event_pmi" ->
+      """WITH ue AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d, event_type
+        |            FROM events),
+        |c AS (SELECT event_type, count(*) AS n_t FROM ue GROUP BY 1),
+        |tot AS (SELECT count(*) AS n_ctx
+        |        FROM (SELECT DISTINCT user_id, CAST(ts AS DATE) FROM events)),
+        |p AS (SELECT a.event_type AS ea, b.event_type AS eb, count(*) AS nab
+        |      FROM ue a JOIN ue b
+        |        ON a.user_id = b.user_id AND a.d = b.d
+        |       AND a.event_type < b.event_type
+        |      GROUP BY 1, 2)
+        |SELECT ea, eb, nab,
+        |  round(ln(nab::DOUBLE * n_ctx / (ca.n_t::DOUBLE * cb.n_t)), 6) AS pmi
+        |FROM p, tot, c ca, c cb
+        |WHERE ca.event_type = ea AND cb.event_type = eb""".stripMargin,
     "q64_distinct_users" ->
       """SELECT event_type, count(*) AS n_events,
         |  count(DISTINCT user_id) AS n_users,

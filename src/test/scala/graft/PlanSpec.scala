@@ -168,6 +168,23 @@ class PlanSpec extends AnyFunSuite {
       s"missing exact-dup pairs: ${dupPairs -- found}")
   }
 
+  test("q66 downsample: partial-agg single shuffle, no window") {
+    // min_by/max_by carry a struct buffer → SortAggregate, but still
+    // TWO-PHASE: the map side collapses each split to ≤|groups| rows
+    // before the one shuffle. The window row_number spelling (the
+    // oracle's) would shuffle every row and sort within groups.
+    val p = plan(RelationalQueries.q66TimeBuckets(spark, dir))
+    assert(p.contains("partial_min_by"), p.take(1000))
+    assert(!p.contains("Window"), "first/last must not need a window")
+  }
+
+  test("q67 PMI: pairs emitted in-place, marginals broadcast, no self-join of contexts") {
+    val p = plan(RelationalQueries.q67EventPmi(spark, dir))
+    assert(p.contains("Generate"), "pair emission must be an explode, not a join")
+    assert(p.contains("BroadcastHashJoin"), "marginals must broadcast")
+    assert(!p.contains("SortMergeJoin"), p.take(1200))
+  }
+
   test("whole-stage codegen covers the relational aggregates") {
     val p = plan(RelationalQueries.q01PricingAgg(spark, dir))
     // under AQE the codegen stage prints as a `*(n)` prefix
