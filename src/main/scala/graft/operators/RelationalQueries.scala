@@ -1029,21 +1029,30 @@ object RelationalQueries {
     * with array `transform`/`slice` (no self-join — the oracle's
     * self-join spelling rescans and reshuffles the context table),
     * and the marginals are a tiny broadcast + one-row cross barrier. */
-  def q67EventPmi(spark: SparkSession, dir: String): DataFrame = {
-    val ue = t(spark, dir, "events")
+  /** Distinct (user_id, day, event_type) context memberships. */
+  private def eventContexts(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
       .select(col("user_id"), to_date(col("ts")).as("d"), col("event_type"))
       .distinct()
-    val ctx = ue.groupBy("user_id", "d")
+
+  /** Co-occurrence pair counts (ea < eb) over (user, day) contexts —
+    * ONE groupBy + in-array pair emission, no context self-join. */
+  private def cooccurrencePairs(ue: DataFrame): DataFrame =
+    ue.groupBy("user_id", "d")
       .agg(sort_array(collect_set(col("event_type"))).as("types"))
-    val nCtx = ctx.agg(count(lit(1)).as("n_ctx"))
-    val marginals = ue.groupBy("event_type").agg(count(lit(1)).as("n_t"))
-    val pairs = ctx.select(explode(expr(
+      .select(explode(expr(
         "flatten(transform(types, (x, i) -> " +
           "transform(slice(types, i + 2, size(types)), y -> struct(x AS ea, y AS eb))))"))
         .as("p"))
       .select(col("p.ea").as("ea"), col("p.eb").as("eb"))
       .groupBy("ea", "eb").agg(count(lit(1)).as("nab"))
-    pairs
+
+  def q67EventPmi(spark: SparkSession, dir: String): DataFrame = {
+    val ue = eventContexts(spark, dir)
+    val ctx = ue.select("user_id", "d").distinct()
+    val nCtx = ctx.agg(count(lit(1)).as("n_ctx"))
+    val marginals = ue.groupBy("event_type").agg(count(lit(1)).as("n_t"))
+    cooccurrencePairs(ue)
       .join(broadcast(marginals.select(col("event_type").as("ea"), col("n_t").as("na"))), Seq("ea"))
       .join(broadcast(marginals.select(col("event_type").as("eb"), col("n_t").as("nb"))), Seq("eb"))
       .crossJoin(nCtx)
@@ -1052,7 +1061,27 @@ object RelationalQueries {
           (col("na").cast("double") * col("nb"))), 6).as("pmi"))
   }
 
+  /** Weighted PageRank (5 fixed power-iteration rounds, d=0.85) over
+    * the symmetrized event-type co-occurrence graph — entity
+    * importance, the KG ranking step (see [[graft.kg.PageRank]] for
+    * the distributed loop and its scale notes). Fixed rounds make the
+    * result a deterministic function of the edge table, so the DuckDB
+    * oracle simply UNROLLS the five rounds as chained CTEs with the
+    * identical expression tree; convergence mode (`iterations=None`)
+    * is gated separately in PageRankSpec against analytic fixtures
+    * and an independent dense implementation. */
+  def q68Pagerank(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = cooccurrencePairs(eventContexts(spark, dir))
+    val edges = pairs.select(col("ea").as("src"), col("eb").as("dst"),
+        col("nab").cast("double").as("weight"))
+      .union(pairs.select(col("eb").as("src"), col("ea").as("dst"),
+        col("nab").cast("double").as("weight")))
+    graft.kg.PageRank.run(edges, damping = 0.85, iterations = Some(5))
+      .select(col("vertex"), round(col("rank"), 6).as("rank"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q68_pagerank" -> q68Pagerank,
     "q65_bloom_prune" -> q65BloomPrune,
     "q66_time_buckets" -> q66TimeBuckets,
     "q67_event_pmi" -> q67EventPmi,
@@ -1181,6 +1210,33 @@ object RelationalQueries {
       .mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    "q68_pagerank" -> {
+      val iterTpl = (k: Int) =>
+        s"""r$k AS (
+           |  SELECT v.vertex,
+           |    (1.0-0.85)/(SELECT n FROM nn) + 0.85*coalesce(s.inflow, 0.0) AS rank
+           |  FROM v LEFT JOIN (
+           |    SELECT t.dst AS vertex, sum(t.p * r.rank) AS inflow
+           |    FROM trans t JOIN r${k - 1} r ON t.src = r.vertex GROUP BY 1) s
+           |  USING (vertex))""".stripMargin
+      """WITH ue AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d, event_type
+        |            FROM events),
+        |pairs AS (SELECT a.event_type AS ea, b.event_type AS eb, count(*) AS nab
+        |          FROM ue a JOIN ue b ON a.user_id = b.user_id AND a.d = b.d
+        |           AND a.event_type < b.event_type GROUP BY 1, 2),
+        |edges AS (SELECT ea AS src, eb AS dst, nab::DOUBLE AS weight FROM pairs
+        |          UNION ALL
+        |          SELECT eb AS src, ea AS dst, nab::DOUBLE AS weight FROM pairs),
+        |v AS (SELECT DISTINCT src AS vertex FROM edges),
+        |nn AS (SELECT count(*)::DOUBLE AS n FROM v),
+        |wout AS (SELECT src, sum(weight) AS wout FROM edges GROUP BY 1),
+        |trans AS (SELECT e.src, e.dst, e.weight / w.wout AS p
+        |          FROM edges e JOIN wout w USING (src)),
+        |r0 AS (SELECT vertex, 1.0/(SELECT n FROM nn) AS rank FROM v),
+        |""".stripMargin +
+        (1 to 5).map(iterTpl).mkString(",\n") +
+        "\nSELECT vertex, round(rank, 6) AS rank FROM r5"
+    },
     "q65_bloom_prune" ->
       """SELECT event_type, count(*) AS n FROM events
         |WHERE user_id IN (SELECT user_id FROM events
