@@ -1080,7 +1080,19 @@ object RelationalQueries {
       .select(col("vertex"), round(col("rank"), 6).as("rank"))
   }
 
+  /** Weighted sampling without replacement, 5 docs per language,
+    * weight = n_chars (longer docs proportionally likelier) — see
+    * [[Sampling.weightedSample]] for the exp-ticket construction and
+    * its scale notes. */
+  def q69WeightedSample(spark: SparkSession, dir: String): DataFrame =
+    Sampling.weightedSample(
+      t(spark, dir, "documents").select("doc_id", "lang", "n_chars", "text"),
+      stratumCol = "lang", keyCol = "text", weightCol = "n_chars",
+      tieCol = "doc_id", k = 5)
+      .select("lang", "doc_id", "n_chars")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q69_weighted_sample" -> q69WeightedSample,
     "q68_pagerank" -> q68Pagerank,
     "q65_bloom_prune" -> q65BloomPrune,
     "q66_time_buckets" -> q66TimeBuckets,
@@ -1210,6 +1222,19 @@ object RelationalQueries {
       .mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    "q69_weighted_sample" -> {
+      val hex4 = (c: Int) =>
+        s"(ascii(substr(h,$c,1)) - CASE WHEN ascii(substr(h,$c,1)) >= 97 THEN 87 ELSE 48 END)"
+      s"""WITH tk AS (SELECT doc_id, lang, n_chars, md5(text) AS h FROM documents),
+         |tv AS (SELECT doc_id, lang, n_chars,
+         |  ${hex4(1)} * 4096 + ${hex4(2)} * 256 +
+         |  ${hex4(3)} * 16 + ${hex4(4)} AS ticket FROM tk),
+         |s AS (SELECT doc_id, lang, n_chars,
+         |  -ln((ticket + 1)::DOUBLE / 65537.0) / n_chars::DOUBLE AS score FROM tv),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY lang
+         |                                   ORDER BY score, doc_id) AS rn FROM s)
+         |SELECT lang, doc_id, n_chars FROM r WHERE rn <= 5""".stripMargin
+    },
     "q68_pagerank" -> {
       val iterTpl = (k: Int) =>
         s"""r$k AS (

@@ -49,4 +49,28 @@ object Sampling {
     // explode emits nothing for a null array
     df.withColumn("copy", explode(when(n >= 1, sequence(lit(1), n))))
   }
+
+  /** Weighted sampling WITHOUT replacement, k per stratum
+    * (Efraimidis–Spirakis, Inf. Process. Lett. 97(5), 2006): keep the
+    * k rows with the smallest exp-ticket `-ln(u)/w`, which draws each
+    * subset with probability proportional to its weights. As with
+    * [[stratifiedSample]], u comes from content (the md5 ticket
+    * mapped into (0,1]), not `rand()` — reruns, task retries, and the
+    * DuckDB oracle (q69) agree bit-for-bit. Ties (same 16-bit ticket
+    * AND weight) break on `tieCol`.
+    *
+    * Scale shape: a rank-filtered window, so Spark inserts a map-side
+    * WindowGroupLimit — each input split forwards only its own top-k
+    * per stratum into the shuffle (the q02/q58 pattern, plan-asserted
+    * there). */
+  def weightedSample(df: DataFrame, stratumCol: String, keyCol: String,
+                     weightCol: String, tieCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val u = (ticket(col(keyCol)) + 1).cast("double") / lit(65537.0)
+    val score = -log(u) / col(weightCol).cast("double")
+    val w = Window.partitionBy(col(stratumCol)).orderBy(score.asc, col(tieCol).asc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
 }

@@ -54,4 +54,31 @@ class SamplingSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
   }
+
+  test("weightedSample: exactly k per stratum, no duplicates, repartition-invariant") {
+    import spark.implicits._
+    val rows = (0 until 900).map(i => (i.toLong, s"s${i % 3}", s"body $i", 1L + i % 7))
+    val df = rows.toDF("doc_id", "stratum", "text", "w")
+    val got = Sampling.weightedSample(df, "stratum", "text", "w", "doc_id", 10)
+      .select("stratum", "doc_id").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.length == 30 && got.distinct.length == 30)
+    assert(got.groupBy(_._1).forall(_._2.length == 10))
+    val got2 = Sampling.weightedSample(df.repartition(17), "stratum", "text", "w", "doc_id", 10)
+      .select("stratum", "doc_id").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.sorted.sameElements(got2.sorted))
+  }
+
+  test("weightedSample favors heavy rows (Efraimidis-Spirakis bias)") {
+    import spark.implicits._
+    // 200 strata, each 1 heavy row (w=10000) + 20 light (w=10), k=1:
+    // P(heavy wins a stratum) ≈ 10000/10200 — demand ≥80% overall
+    val rows = (0 until 200).flatMap { s =>
+      (("h", s"stratum$s", s"heavy text $s", 10000L)) +:
+        (0 until 20).map(i => ("l", s"stratum$s", s"light text $s-$i", 10L))
+    }
+    val df = rows.toDF("kind", "stratum", "text", "w")
+    val picked = Sampling.weightedSample(df, "stratum", "text", "w", "text", 1)
+      .groupBy("kind").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(picked.getOrElse("h", 0L) >= 160, s"heavy picks: $picked")
+  }
 }
