@@ -1091,7 +1091,41 @@ object RelationalQueries {
       tieCol = "doc_id", k = 5)
       .select("lang", "doc_id", "n_chars")
 
+  /** Per-document top-5 TF-IDF terms with the smoothed IDF
+    * (ln((N+1)/(df+1)) + 1, the scikit-learn `TfidfVectorizer`
+    * default) — the relevance/keyword-extraction primitive behind the
+    * reference's sentence-similarity retrieval
+    * (few_shots_techniques.py:60-76 ranks by embedding cosine; this
+    * is its sparse lexical twin). One explode pass over the corpus
+    * feeds the (doc, term) TF aggregate; DF is a second aggregation
+    * over the ALREADY-AGGREGATED tf frame (one row per doc×term, so
+    * count(*) = document frequency) — the raw token stream is
+    * shuffled exactly once. The df/vocab frame is aggregate-sized
+    * (natural-language vocab grows sublinearly in corpus size) and
+    * broadcast onto tf; N rides a 1-row broadcast cross join. The
+    * per-doc top-k is a rank window — WindowGroupLimit pushes the
+    * k=5 limit into the sort (PlanSpec pattern). Scores are rounded
+    * to 6dp BEFORE ranking on both sides so ULP noise in ln cannot
+    * reorder the cut. */
+  def q70TfidfTerms(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val tf = docs
+      .select(col("doc_id"),
+        explode(filter(split(lower(col("text")), "[^a-z]+"), w => w =!= lit(""))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfr = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(broadcast(dfr), "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf",
+        round(col("tf") * (log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0))) + lit(1.0)), 6))
+    val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("term").asc)
+    scored.withColumn("rk", row_number().over(w)).where(col("rk") <= 5)
+      .select("doc_id", "term", "tf", "df", "tfidf")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q70_tfidf_terms" -> q70TfidfTerms,
     "q69_weighted_sample" -> q69WeightedSample,
     "q68_pagerank" -> q68Pagerank,
     "q65_bloom_prune" -> q65BloomPrune,
@@ -1222,6 +1256,24 @@ object RelationalQueries {
       .mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    "q70_tfidf_terms" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+        |      x -> x <> '')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+        |df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |    round(tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0), 6) AS tfidf
+        |  FROM tf JOIN df USING (term) CROSS JOIN n)
+        |SELECT doc_id, term, tf, df, tfidf FROM (
+        |  SELECT scored.*, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rk
+        |  FROM scored)
+        |WHERE rk <= 5""".stripMargin,
     "q69_weighted_sample" -> {
       val hex4 = (c: Int) =>
         s"(ascii(substr(h,$c,1)) - CASE WHEN ascii(substr(h,$c,1)) >= 97 THEN 87 ELSE 48 END)"
