@@ -15,7 +15,11 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // dev-only subset: comma-separated query names (driver sets nothing)
+    val keep = sys.env.get("SPARK_GRAFT_VERIFY_FILTER").map(_.split(",").toSet)
+    SparkEntry.queries
+      .filter { case (name, _) => keep.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

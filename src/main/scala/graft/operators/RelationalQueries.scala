@@ -1366,7 +1366,134 @@ object RelationalQueries {
       round(stddev_pop("l_quantity"), 6).as("sd_qty"),
       round(stddev_pop("l_extendedprice"), 6).as("sd_price"))
 
+  /** Cohen's kappa between the observed event labels and a
+    * deterministic second-rater perturbation (event_id % 7 → 'click',
+    * % 11 → 'error') — the inter-annotator-agreement score for the
+    * reference's user-vs-LLM label comparisons
+    * (testingLLMperformance.py's containment check generalized to
+    * chance-corrected agreement). Observed agreement is one
+    * map-side-combined scan; expected agreement joins the two
+    * aggregate-sized marginal frames (|labels| rows each), so nothing
+    * row-scale ever shuffles. kappa = (po − pe)/(1 − pe), computed
+    * unrounded and rounded only at the output. */
+  def q83CohensKappa(spark: SparkSession, dir: String): DataFrame = {
+    val base = t(spark, dir, "events").select(
+      col("event_type").as("r1"),
+      when(pmod(col("event_id"), lit(7)) === 0, lit("click"))
+        .when(pmod(col("event_id"), lit(11)) === 0, lit("error"))
+        .otherwise(col("event_type")).as("r2"))
+    val tot = base.agg(count(lit(1)).cast("double").as("n"),
+      avg((col("r1") === col("r2")).cast("int")).as("po"))
+    val m1 = base.groupBy(col("r1").as("lab")).agg(count(lit(1)).cast("double").as("c1"))
+    val m2 = base.groupBy(col("r2").as("lab")).agg(count(lit(1)).cast("double").as("c2"))
+    val pe = m1.join(m2, Seq("lab"), "full_outer")
+      .agg(sum(coalesce(col("c1"), lit(0.0)) * coalesce(col("c2"), lit(0.0))).as("s"))
+    tot.crossJoin(pe)
+      .select(round(col("po"), 6).as("po"),
+        round(col("s") / (col("n") * col("n")), 6).as("pe"),
+        round((col("po") - col("s") / (col("n") * col("n"))) /
+          (lit(1.0) - col("s") / (col("n") * col("n"))), 6).as("kappa"))
+  }
+
+  /** Reliability-diagram bins for the confidence-calibration check —
+    * the distributed form of the reference's confidence-estimation
+    * analysis (get_answer_with_confidence / ROC in q32): probability
+    * = fractional part of `value`, outcome = purchase indicator,
+    * 10 equal-width bins with per-bin confidence, accuracy and
+    * |conf − acc| gap. One partial-aggable shuffle of 10 groups. */
+  def q84CalibrationBins(spark: SparkSession, dir: String): DataFrame =
+    calibScored(spark, dir)
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        round(avg("p"), 6).as("avg_conf"),
+        round(avg("y"), 6).as("acc"),
+        round(abs(avg(col("p")) - avg(col("y"))), 6).as("gap"))
+
+  /** label/probability frame shared by q84/q85: y = purchase
+    * indicator, p = frac(value) ∈ [0,1) (deterministic, identical
+    * IEEE double arithmetic in Spark and DuckDB), bin = ⌊10p⌋. */
+  private def calibScored(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events").select(
+      (col("event_type") === "purchase").cast("int").as("y"),
+      (col("value") - floor(col("value"))).as("p"))
+      .withColumn("bin", least(floor(col("p") * 10), lit(9.0)).cast("long"))
+
+  /** Proper scoring rules over the same calibration frame: Brier
+    * score, clamped log loss and expected calibration error
+    * (bin-weighted |conf − acc|). Brier/log-loss are one
+    * map-side-combined scan; ECE folds the 10-row bin frame — the
+    * whole answer is one row from two aggregate-sized barriers. */
+  def q85ScoringRules(spark: SparkSession, dir: String): DataFrame = {
+    val scored = calibScored(spark, dir)
+    val eps = lit(1e-15)
+    val point = scored.agg(
+      avg((col("p") - col("y")) * (col("p") - col("y"))).as("brier"),
+      avg(-(col("y") * log(greatest(col("p"), eps)) +
+        (lit(1) - col("y")) * log(greatest(lit(1.0) - col("p"), eps)))).as("logloss"))
+    val ece = scored.groupBy("bin")
+      .agg(count(lit(1)).cast("double").as("n"), avg("p").as("c"), avg("y").as("a"))
+      .agg((sum(col("n") * abs(col("c") - col("a"))) / sum(col("n"))).as("ece"))
+    point.crossJoin(ece)
+      .select(round(col("brier"), 6).as("brier"),
+        round(col("logloss"), 6).as("logloss"),
+        round(col("ece"), 6).as("ece"))
+  }
+
+  /** Per-document lexical-diversity profile: token count, type count,
+    * type-token ratio and Shannon term entropy, via the moment
+    * identity H = ln(n) − Σ tf·ln(tf)/n so one (doc,term) aggregate
+    * feeds everything — the q70/q71 single-raw-token-shuffle shape
+    * with a second partial-aggable doc-keyed fold. The training-data
+    * quality screen next to q25's heuristics. */
+  def q86LexicalStats(spark: SparkSession, dir: String): DataFrame = {
+    val tf = t(spark, dir, "documents")
+      .select(col("doc_id"),
+        explode(filter(split(lower(col("text")), "[^a-z]+"), w => w =!= lit(""))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    tf.groupBy("doc_id")
+      .agg(sum("tf").as("n_tokens"), count(lit(1)).as("n_types"),
+        sum(col("tf") * log(col("tf"))).as("s"))
+      .select(col("doc_id"), col("n_tokens"), col("n_types"),
+        round(col("n_types") / col("n_tokens"), 6).as("ttr"),
+        round(log(col("n_tokens")) - col("s") / col("n_tokens"), 6).as("entropy"))
+  }
+
+  /** Retrieval-quality evaluation of the kNN arm (few-shot lookup /
+    * ANN): per query vector (vec_id < 20), rank the rest of the
+    * corpus by cosine (rounded to 4dp BEFORE the rank window, q16's
+    * portability contract), keep top-10, report same-label hits and
+    * reciprocal rank of the first hit — MRR/recall@k, the IR-metric
+    * twin of q37's ANN recall gates. The 20-query side broadcasts;
+    * the rank window gets WindowGroupLimit pushdown. */
+  def q87RetrievalMrr(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
+    val qs = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"), col("v").as("qv"))
+    val cos = {
+      val dot = expr("aggregate(zip_with(v, qv, (x, y) -> x * y), 0D, (acc, w) -> acc + w)")
+      val na = expr("aggregate(v, 0D, (acc, w) -> acc + w * w)")
+      val nb = expr("aggregate(qv, 0D, (acc, w) -> acc + w * w)")
+      dot / sqrt(na * nb)
+    }
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id").asc)
+    e.filter(col("vec_id") >= 20)
+      .crossJoin(broadcast(qs))
+      .withColumn("sim", round(cos, 4))
+      .withColumn("rk", row_number().over(w)).where(col("rk") <= 10)
+      .groupBy("q_id", "q_label")
+      .agg(sum((col("label") === col("q_label")).cast("int")).as("n_rel_top10"),
+        round(coalesce(
+          max(when(col("label") === col("q_label"), lit(1.0) / col("rk"))), lit(0.0)), 6)
+          .as("rr"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q87_retrieval_mrr" -> q87RetrievalMrr,
+    "q86_lexical_stats" -> q86LexicalStats,
+    "q85_scoring_rules" -> q85ScoringRules,
+    "q84_calibration_bins" -> q84CalibrationBins,
+    "q83_cohens_kappa" -> q83CohensKappa,
     "q82_numeric_corr" -> q82NumericCorr,
     "q81_scd2_intervals" -> q81Scd2Intervals,
     "q80_triangle_count" -> q80TriangleCount,
@@ -1510,6 +1637,77 @@ object RelationalQueries {
       .mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    "q83_cohens_kappa" ->
+      """WITH base AS (
+        |  SELECT event_type AS r1,
+        |    CASE WHEN event_id % 7 = 0 THEN 'click'
+        |         WHEN event_id % 11 = 0 THEN 'error'
+        |         ELSE event_type END AS r2
+        |  FROM events),
+        |tot AS (SELECT count(*)::DOUBLE AS n, avg((r1 = r2)::INT) AS po FROM base),
+        |m1 AS (SELECT r1 AS lab, count(*)::DOUBLE AS c1 FROM base GROUP BY 1),
+        |m2 AS (SELECT r2 AS lab, count(*)::DOUBLE AS c2 FROM base GROUP BY 1),
+        |pe AS (SELECT sum(coalesce(c1, 0) * coalesce(c2, 0)) AS s
+        |  FROM m1 FULL JOIN m2 USING (lab))
+        |SELECT round(po, 6) AS po,
+        |  round(s / (n * n), 6) AS pe,
+        |  round((po - s / (n * n)) / (1 - s / (n * n)), 6) AS kappa
+        |FROM tot, pe""".stripMargin,
+    "q84_calibration_bins" ->
+      """WITH scored AS (
+        |  SELECT (event_type = 'purchase')::INT AS y,
+        |    value - floor(value) AS p,
+        |    least(floor((value - floor(value)) * 10), 9.0)::BIGINT AS bin
+        |  FROM events)
+        |SELECT bin, count(*)::BIGINT AS n,
+        |  round(avg(p), 6) AS avg_conf,
+        |  round(avg(y), 6) AS acc,
+        |  round(abs(avg(p) - avg(y)), 6) AS gap
+        |FROM scored GROUP BY 1""".stripMargin,
+    "q85_scoring_rules" ->
+      """WITH scored AS (
+        |  SELECT (event_type = 'purchase')::INT AS y,
+        |    value - floor(value) AS p,
+        |    least(floor((value - floor(value)) * 10), 9.0)::BIGINT AS bin
+        |  FROM events),
+        |point AS (
+        |  SELECT avg((p - y) * (p - y)) AS brier,
+        |    avg(-(y * ln(greatest(p, 1e-15))
+        |      + (1 - y) * ln(greatest(1.0 - p, 1e-15)))) AS logloss
+        |  FROM scored),
+        |bins AS (SELECT bin, count(*)::DOUBLE AS n, avg(p) AS c, avg(y) AS a
+        |  FROM scored GROUP BY 1),
+        |e AS (SELECT sum(n * abs(c - a)) / sum(n) AS ece FROM bins)
+        |SELECT round(brier, 6) AS brier, round(logloss, 6) AS logloss,
+        |  round(ece, 6) AS ece
+        |FROM point, e""".stripMargin,
+    "q86_lexical_stats" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+        |      x -> x <> '')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2)
+        |SELECT doc_id, sum(tf)::BIGINT AS n_tokens, count(*)::BIGINT AS n_types,
+        |  round(count(*) / sum(tf)::DOUBLE, 6) AS ttr,
+        |  round(ln(sum(tf)) - sum(tf * ln(tf)) / sum(tf), 6) AS entropy
+        |FROM tf GROUP BY 1""".stripMargin,
+    "q87_retrieval_mrr" ->
+      """WITH q AS (
+        |  SELECT vec_id AS q_id, label AS q_label, embedding AS qv
+        |  FROM embeddings WHERE vec_id < 20),
+        |scored AS (
+        |  SELECT q.q_id, q.q_label, e.vec_id, e.label,
+        |    round(list_cosine_similarity(e.embedding, q.qv), 4) AS sim
+        |  FROM embeddings e, q WHERE e.vec_id >= 20),
+        |top AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rk
+        |  FROM scored)
+        |SELECT q_id, q_label,
+        |  sum((label = q_label)::INT)::BIGINT AS n_rel_top10,
+        |  round(coalesce(max(CASE WHEN label = q_label THEN 1.0::DOUBLE / rk END), 0), 6) AS rr
+        |FROM top WHERE rk <= 10 GROUP BY 1, 2""".stripMargin,
     "q76_length_deciles" ->
       """WITH ranked AS (
         |  SELECT lang, n_chars,
