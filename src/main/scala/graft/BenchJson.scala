@@ -176,7 +176,12 @@ object BenchJson {
     * VM's degraded windows are memory-bandwidth collapses invisible to
     * /proc/stat steal, so the bench's own first phase is the only
     * reliable probe. */
-  def windowQuality(queriesTotalSec: Option[Double], nominalSec: Double = 60.0): Double =
+  /** nominalSec tracks the clean-window cost of the CURRENT query
+    * program — recalibrate when the program grows (r4: 76 queries
+    * ≈ 60 s; r5: 106 queries ≈ 88 s clean, 102.7 s measured in a
+    * mildly degraded window), else a clean window reads as degraded
+    * and needlessly shrinks the big scaling corpus. */
+  def windowQuality(queriesTotalSec: Option[Double], nominalSec: Double = 88.0): Double =
     queriesTotalSec.map(_ / nominalSec).getOrElse(1.0)
 
   /** Degraded-window corpus shrink for the big pair, floored at 4× the

@@ -1512,7 +1512,88 @@ object RelationalQueries {
           .as("rr"))
   }
 
+  /** Exact interpolated percentiles per group (Spark `percentile` ≡
+    * SQL percentile_cont ≡ DuckDB quantile_cont: index p·(n−1),
+    * linear interpolation) — the exact twin of q64's
+    * approx_percentile sketch gate. Exact percentiles need the
+    * group's values together, so this is ONE shuffle on the group
+    * key; at 100 TB the sketch (mergeable, partial-aggable) is the
+    * scale path and this the small-group/final-report path. */
+  def q88GroupPercentiles(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        round(expr("percentile(value, 0.5)"), 6).as("p50"),
+        round(expr("percentile(value, 0.9)"), 6).as("p90"),
+        round(expr("percentile(value, 0.99)"), 6).as("p99"))
+
+  /** Fixed-column pivot (long→wide crosstab) of daily event counts —
+    * the explicit-values `groupBy().pivot(col, values)` form, which
+    * plans as ONE partial-aggable aggregate with conditional counts
+    * (no second pass to discover the column set, unlike the
+    * values-free overload which runs a distinct job first — never do
+    * that at 100 TB). Missing (day, type) cells are 0. */
+  def q89PivotDaily(spark: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "view", "purchase", "signup", "error")
+    val wide = t(spark, dir, "events")
+      .groupBy(to_date(col("ts")).as("day"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+    wide.select(col("day") +: types.map(tp =>
+      coalesce(col(tp), lit(0L)).cast("long").as(s"n_$tp")): _*)
+  }
+
+  /** Welch's unequal-variance two-sample t over a deterministic
+    * user_id-parity split — the A/B significance screen. Every
+    * moment is a conditional aggregate (avg/var_samp over a CASE, so
+    * nulls drop out), making the whole test ONE map-side-combined
+    * shuffle of |event_type| groups; the t statistic and
+    * Welch–Satterthwaite df are post-aggregation arithmetic. p-values
+    * need erf, which differs in last-ulp across engines — the
+    * statistic + df ARE the portable contract. */
+  def q90AbWelch(spark: SparkSession, dir: String): DataFrame = {
+    val a = when(pmod(col("user_id"), lit(2)) === 0, col("value"))
+    val b = when(pmod(col("user_id"), lit(2)) === 1, col("value"))
+    t(spark, dir, "events")
+      .groupBy("event_type")
+      .agg(count(a).as("na"), count(b).as("nb"),
+        avg(a).as("ma"), avg(b).as("mb"),
+        var_samp(a).as("va"), var_samp(b).as("vb"))
+      .select(col("event_type"), col("na"), col("nb"),
+        round(col("ma"), 6).as("mean_a"), round(col("mb"), 6).as("mean_b"),
+        round((col("ma") - col("mb")) /
+          sqrt(col("va") / col("na") + col("vb") / col("nb")), 6).as("t_stat"),
+        round({
+          val se = col("va") / col("na") + col("vb") / col("nb")
+          val qa = col("va") / col("na") * (col("va") / col("na"))
+          val qb = col("vb") / col("nb") * (col("vb") / col("nb"))
+          se * se / (qa / (col("na") - 1) + qb / (col("nb") - 1))
+        }, 6).as("df_welch"))
+  }
+
+  /** Per-group Gini coefficient of the value distribution (rank
+    * formula G = 2·Σ i·xᵢ / (n·Σx) − (n+1)/n over ascending-sorted
+    * values, event_id tiebreak for determinism) — the concentration
+    * screen behind corpus-mixture weighting. One shuffle on the
+    * group key for the rank window; the groupBy reuses that layout. */
+  def q91Gini(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy(col("value").asc, col("event_id").asc)
+    t(spark, dir, "events")
+      .select(col("event_type"), col("value"), col("event_id"))
+      .withColumn("i", row_number().over(w))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("value").as("sx"),
+        sum(col("i") * col("value")).as("six"))
+      .select(col("event_type"), col("n"),
+        round(lit(2.0) * col("six") / (col("n") * col("sx")) -
+          (col("n") + lit(1.0)) / col("n"), 6).as("gini"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q91_gini" -> q91Gini,
+    "q90_ab_welch" -> q90AbWelch,
+    "q89_pivot_daily" -> q89PivotDaily,
+    "q88_group_percentiles" -> q88GroupPercentiles,
     "q87_retrieval_mrr" -> q87RetrievalMrr,
     "q86_lexical_stats" -> q86LexicalStats,
     "q85_scoring_rules" -> q85ScoringRules,
@@ -1661,6 +1742,47 @@ object RelationalQueries {
       .mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    "q88_group_percentiles" ->
+      """SELECT event_type, count(*)::BIGINT AS n,
+        |  round(quantile_cont(value, 0.5), 6) AS p50,
+        |  round(quantile_cont(value, 0.9), 6) AS p90,
+        |  round(quantile_cont(value, 0.99), 6) AS p99
+        |FROM events GROUP BY 1""".stripMargin,
+    "q89_pivot_daily" ->
+      """SELECT ts::DATE AS day,
+        |  sum((event_type = 'click')::INT)::BIGINT AS n_click,
+        |  sum((event_type = 'view')::INT)::BIGINT AS n_view,
+        |  sum((event_type = 'purchase')::INT)::BIGINT AS n_purchase,
+        |  sum((event_type = 'signup')::INT)::BIGINT AS n_signup,
+        |  sum((event_type = 'error')::INT)::BIGINT AS n_error
+        |FROM events GROUP BY 1""".stripMargin,
+    "q90_ab_welch" ->
+      """WITH m AS (
+        |  SELECT event_type,
+        |    count(CASE WHEN user_id % 2 = 0 THEN 1 END)::BIGINT AS na,
+        |    count(CASE WHEN user_id % 2 = 1 THEN 1 END)::BIGINT AS nb,
+        |    avg(CASE WHEN user_id % 2 = 0 THEN value END) AS ma,
+        |    avg(CASE WHEN user_id % 2 = 1 THEN value END) AS mb,
+        |    var_samp(CASE WHEN user_id % 2 = 0 THEN value END) AS va,
+        |    var_samp(CASE WHEN user_id % 2 = 1 THEN value END) AS vb
+        |  FROM events GROUP BY 1)
+        |SELECT event_type, na, nb,
+        |  round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
+        |  round((ma - mb) / sqrt(va / na + vb / nb), 6) AS t_stat,
+        |  round((va / na + vb / nb) * (va / na + vb / nb)
+        |    / ((va / na) * (va / na) / (na - 1)
+        |      + (vb / nb) * (vb / nb) / (nb - 1)), 6) AS df_welch
+        |FROM m""".stripMargin,
+    "q91_gini" ->
+      """WITH r AS (
+        |  SELECT event_type, value,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY value ASC, event_id ASC) AS i
+        |  FROM events)
+        |SELECT event_type, count(*)::BIGINT AS n,
+        |  round(2.0 * sum(i * value) / (count(*) * sum(value))
+        |    - (count(*) + 1.0) / count(*), 6) AS gini
+        |FROM r GROUP BY 1""".stripMargin,
     "q83_cohens_kappa" ->
       """WITH base AS (
         |  SELECT event_type AS r1,

@@ -146,8 +146,8 @@ class BenchJsonSpec extends AnyFunSuite {
 
   test("windowQuality: unmeasured defaults to nominal") {
     assert(BenchJson.windowQuality(None) == 1.0)
-    assert(BenchJson.windowQuality(Some(307.0)) > 5.0)
-    assert(math.abs(BenchJson.windowQuality(Some(45.0)) - 0.75) < 1e-9)
+    assert(BenchJson.windowQuality(Some(450.0)) > 5.0)
+    assert(math.abs(BenchJson.windowQuality(Some(66.0)) - 0.75) < 1e-9)
   }
 
   test("shrinkBigCorpus: shrinks only in degraded windows, floored at 4x small, capped at big") {
