@@ -551,10 +551,13 @@ object Bench {
     //     best-of-2 at 4N in a steal window. ---
     def measurePair28(attempt: Int, minRuns: Int = 3): (Double, String) = {
       val b2 = math.max(150.0, math.min(remaining * 0.30, 420.0))
+      // guaranteeRuns=2: a cold rep 1 inside a tight budget must not
+      // leave a best-of-1 N level (the r5 full run's retry did exactly
+      // that — one 157 s cold 2-core rep → "efficiency" 3.023)
       val ((walls2, _), steal2) = withSteal(measuredRun(2, scalingDir, maxRuns = 6, tol = 1.15,
-        budgetSec = b2, minRuns = minRuns))
+        budgetSec = b2, minRuns = minRuns, guaranteeRuns = 2))
       val ((walls8, _), steal8) = withSteal(measuredRun(8, scalingDir, maxRuns = 6, tol = 1.15,
-        budgetSec = b2 / 4, minRuns = minRuns)) // ≈ same rep-count opportunity at 4× speed
+        budgetSec = b2 / 4, minRuns = minRuns, guaranteeRuns = 2)) // ≈ same rep-count opportunity at 4× speed
       val eff2 = walls2.min / (4.0 * walls8.min)
       (eff2, BenchJson.pairJson(scalingConvs, walls2.reverse, walls8.reverse,
         steal2, steal8,
@@ -740,8 +743,8 @@ object Bench {
     if (eff28 > 0 && eff28 < 0.8 && remaining > 200) {
       try {
         val (e, j) = measurePair28(2, minRuns = 2)
-        if (e > eff28) { eff28 = e; pair28 = Some(j); emit() }
-        else System.err.println(s"[bench] pair_2_8 retry not better (${fmt(e, 3)} vs ${fmt(eff28, 3)}); keeping attempt 1")
+        if (BenchJson.acceptRetry28(e, eff28, j)) { eff28 = e; pair28 = Some(j); emit() }
+        else System.err.println(s"[bench] pair_2_8 retry rejected (eff=${fmt(e, 3)}); keeping attempt 1 (${fmt(eff28, 3)})")
       } catch { case e: Throwable => fail("pair_2_8_retry", e); emit() }
     }
 

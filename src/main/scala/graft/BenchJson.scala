@@ -199,6 +199,16 @@ object BenchJson {
   /** Wall-budget headroom reserved ahead of the big pair so a
     * sub-bar pair_2_8 can re-measure in a possibly-cleaner late
     * window (~260 s fits a minRuns=2 symmetric pair). */
+  /** pair_2_8 retry acceptance: a retry replaces attempt 1 only when
+    * it is a sane improvement. The r5 full run's retry measured
+    * "efficiency" 3.023 from a single cold 157 s 2-core rep against a
+    * warm 8-core level — physically impossible (>1.05) and best-of-1
+    * (the `n_cold` flag): both are measurement artifacts of THIS
+    * window, never evidence of a better one. */
+  def acceptRetry28(newEff: Double, prevEff: Double, newPairJson: String): Boolean =
+    newEff > prevEff && newEff <= 1.05 &&
+      !newPairJson.contains("\"n_cold\":true")
+
   def retryReserve(eff28: Double): Double =
     if (eff28 > 0 && eff28 < 0.8) 260.0 else 0.0
 }

@@ -1589,7 +1589,41 @@ object RelationalQueries {
           (col("n") + lit(1.0)) / col("n"), 6).as("gini"))
   }
 
+  /** Distributed logistic-regression training for confidence
+    * calibration (the reference's "Model for calibrated confidence"
+    * notebook: logistic regression on LLM logits → calibrated
+    * probability; scoring with a broadcast weight vector is
+    * Confidence.scala — THIS is the training side): 3 full-batch
+    * gradient-descent iterations on (x = frac(value), intercept) vs
+    * the purchase outcome, lr = 1. Each iteration is ONE
+    * map-side-combined aggregate (two avg'd gradient moments); the
+    * only driver traffic is the 2-double weight vector per iteration
+    * — the canonical distributed-GD loop (same contract as
+    * Canonicalize's iterative hash-min). The oracle unrolls the same
+    * 3 iterations as a DuckDB CTE chain (q68's precedent). Output:
+    * learned weights + training log-loss, rounded 6dp. */
+  def q92LogisticGd(spark: SparkSession, dir: String): DataFrame = {
+    val scored = t(spark, dir, "events")
+      .select((col("event_type") === "purchase").cast("double").as("y"),
+        (col("value") - floor(col("value"))).as("x"))
+      .localCheckpoint() // 4 consumers: 3 gradient passes + final loss
+    var (w1, w0) = (0.0, 0.0)
+    for (_ <- 1 to 3) {
+      val p = lit(1.0) / (lit(1.0) + exp(-(lit(w1) * col("x") + lit(w0))))
+      val g = scored.agg(avg((p - col("y")) * col("x")).as("g1"),
+        avg(p - col("y")).as("g0")).head()
+      w1 -= g.getDouble(0); w0 -= g.getDouble(1)
+    }
+    val p = lit(1.0) / (lit(1.0) + exp(-(lit(w1) * col("x") + lit(w0))))
+    val eps = lit(1e-15)
+    scored.agg(
+      round(lit(w1), 6).as("w1"), round(lit(w0), 6).as("w0"),
+      round(avg(-(col("y") * log(greatest(p, eps)) +
+        (lit(1.0) - col("y")) * log(greatest(lit(1.0) - p, eps)))), 6).as("logloss"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q92_logistic_gd" -> q92LogisticGd,
     "q91_gini" -> q91Gini,
     "q90_ab_welch" -> q90AbWelch,
     "q89_pivot_daily" -> q89PivotDaily,
@@ -1742,6 +1776,26 @@ object RelationalQueries {
       .mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    "q92_logistic_gd" -> {
+      val iter = (k: Int) =>
+        s"""it$k AS (
+           |  SELECT w.w1 - avg((1.0/(1.0+exp(-(w.w1*x + w.w0))) - y) * x) AS w1,
+           |    w.w0 - avg(1.0/(1.0+exp(-(w.w1*x + w.w0))) - y) AS w0
+           |  FROM scored, it${k - 1} w GROUP BY w.w1, w.w0)""".stripMargin
+      """WITH scored AS (
+        |  SELECT (event_type = 'purchase')::INT::DOUBLE AS y,
+        |    value - floor(value) AS x
+        |  FROM events),
+        |it0 AS (SELECT 0.0 AS w1, 0.0 AS w0),
+        |""".stripMargin +
+        (1 to 3).map(iter).mkString(",\n") +
+        """
+          |SELECT round(w.w1, 6) AS w1, round(w.w0, 6) AS w0,
+          |  round(avg(-(y * ln(greatest(1.0/(1.0+exp(-(w.w1*x + w.w0))), 1e-15))
+          |    + (1.0 - y) * ln(greatest(1.0 - 1.0/(1.0+exp(-(w.w1*x + w.w0))), 1e-15)))), 6)
+          |    AS logloss
+          |FROM scored, it3 w GROUP BY w.w1, w.w0""".stripMargin
+    },
     "q88_group_percentiles" ->
       """SELECT event_type, count(*)::BIGINT AS n,
         |  round(quantile_cont(value, 0.5), 6) AS p50,

@@ -144,6 +144,21 @@ class BenchJsonSpec extends AnyFunSuite {
     assert(!n.has("kg") && !n.has("scaling") && !n.has("aborted"))
   }
 
+  test("acceptRetry28: rejects cold best-of-1 and super-linear artifacts") {
+    val honest = BenchJson.pairJson(500000L, Seq(45.8, 43.7), Seq(16.4, 14.2),
+      0.0, 0.0, "{}", "{}", attempt = 2)
+    val coldN = BenchJson.pairJson(500000L, Seq(157.6), Seq(13.0, 14.1),
+      0.0, 0.0, "{}", "{}", attempt = 2)
+    // the r5 regression: one cold 2-core rep -> eff 3.023
+    assert(!BenchJson.acceptRetry28(3.023, 0.769, coldN))
+    // super-linear is rejected even with 2+ reps
+    assert(!BenchJson.acceptRetry28(1.2, 0.769, honest))
+    // a genuine improvement in-range is accepted
+    assert(BenchJson.acceptRetry28(0.84, 0.769, honest))
+    // no improvement is rejected
+    assert(!BenchJson.acceptRetry28(0.70, 0.769, honest))
+  }
+
   test("windowQuality: unmeasured defaults to nominal") {
     assert(BenchJson.windowQuality(None) == 1.0)
     assert(BenchJson.windowQuality(Some(450.0)) > 5.0)

@@ -81,6 +81,36 @@ class EvalMetricsSpec extends AnyFunSuite {
       ("d2", 4L, 4L, 1.0, r6(math.log(4)))))
   }
 
+  test("q92 logistic GD matches a local implementation of the same 3 iterations") {
+    import spark.implicits._
+    val dir = SparkTestBase.scratchDir("graft-loggd")
+    val rows = Seq(
+      (3.95, "purchase"), (0.85, "purchase"), (1.80, "view"),
+      (2.15, "view"), (9.05, "view"), (4.12, "purchase"), (7.33, "click"))
+    rows.toDF("value", "event_type")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val xs = rows.map { case (v, _) => v - math.floor(v) }
+    val ys = rows.map { case (_, t) => if (t == "purchase") 1.0 else 0.0 }
+    var (w1, w0) = (0.0, 0.0)
+    def sig(x: Double) = 1.0 / (1.0 + math.exp(-(w1 * x + w0)))
+    for (_ <- 1 to 3) {
+      val g1 = xs.zip(ys).map { case (x, y) => (sig(x) - y) * x }.sum / xs.size
+      val g0 = xs.zip(ys).map { case (x, y) => sig(x) - y }.sum / xs.size
+      w1 -= g1; w0 -= g0
+    }
+    val ll = xs.zip(ys).map { case (x, y) =>
+      val p = sig(x)
+      -(y * math.log(math.max(p, 1e-15)) + (1 - y) * math.log(math.max(1 - p, 1e-15)))
+    }.sum / xs.size
+    val Array((sw1, sw0, sll)) = operators.RelationalQueries.q92LogisticGd(spark, dir)
+      .as[(Double, Double, Double)].collect()
+    assert(sw1 == r6(w1) && sw0 == r6(w0))
+    assert(math.abs(sll - ll) < 1e-6)
+    // the learned slope separates the classes in the fixture's favor:
+    // purchases sit at higher frac(value) on average here
+    assert(sw1 != 0.0)
+  }
+
   test("q87 retrieval MRR: first same-label hit sets rr, top-10 hits counted") {
     import spark.implicits._
     val dir = SparkTestBase.scratchDir("graft-mrr")
