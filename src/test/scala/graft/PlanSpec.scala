@@ -185,6 +185,37 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p.take(1200))
   }
 
+  test("q73 keyword search plans a bounded top-k, never a full sort") {
+    val p = plan(RelationalQueries.q73KeywordSearch(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+  }
+
+  test("q89 explicit-values pivot is ONE aggregate pass, no distinct-discovery job") {
+    val p = plan(RelationalQueries.q89PivotDaily(spark, dir))
+    // one grouping key (day): exactly one pair of partial/final
+    // HashAggregates, no second aggregate for value discovery
+    assert(p.contains("HashAggregate"), p.take(600))
+    assert(!p.contains("Expand"), "explicit pivot must not expand rows")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      "pivot must not join")
+  }
+
+  test("q90 Welch test is one map-side-combined pass over the scan") {
+    // AQE prints Final + Initial plan sections — audit the final only
+    val p = plan(RelationalQueries.q90AbWelch(spark, dir)).split("== Initial Plan ==")(0)
+    val nScans = "Scan parquet".r.findAllIn(p).length
+    assert(nScans == 1, s"expected a single scan, got $nScans:\n${p.take(800)}")
+    assert(p.contains("partial_avg") || p.contains("partial_var"), p.take(800))
+  }
+
+  test("q80 triangle adjacency frames join hash-style, never nested-loop over edges") {
+    val p = plan(RelationalQueries.q80TriangleCount(spark, dir))
+    // the only nested-loop joins are the four 1-row aggregate
+    // barriers at the top; the edge-scale joins must be hash joins
+    assert(p.contains("HashJoin"), p.take(800))
+    assert(!p.contains("CartesianProduct"), "edge joins must not be cartesian")
+  }
+
   test("whole-stage codegen covers the relational aggregates") {
     val p = plan(RelationalQueries.q01PricingAgg(spark, dir))
     // under AQE the codegen stage prints as a `*(n)` prefix
