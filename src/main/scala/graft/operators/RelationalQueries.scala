@@ -1622,7 +1622,23 @@ object RelationalQueries {
         (lit(1.0) - col("y")) * log(greatest(lit(1.0) - p, eps)))), 6).as("logloss"))
   }
 
+  /** TPC-H Q13 shape — distribution of orders per customer including
+    * zero-order customers: left outer join then count-of-counts. The
+    * outer join shuffles both sides on custkey once; both aggregates
+    * are partial-aggable and the second one runs on the aggregate-
+    * sized per-customer frame. The "customers with no orders" rows
+    * that only an OUTER join can produce are the point of the shape
+    * (an inner join + histogram silently drops the zero bucket). */
+  def q93CustDist(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer").select(col("c_custkey"))
+    val o = t(spark, dir, "orders").select(col("o_custkey"))
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy("c_custkey").agg(count(col("o_custkey")).as("c_count"))
+      .groupBy("c_count").agg(count(lit(1)).as("custdist"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q93_custdist" -> q93CustDist,
     "q92_logistic_gd" -> q92LogisticGd,
     "q91_gini" -> q91Gini,
     "q90_ab_welch" -> q90AbWelch,
@@ -1776,6 +1792,12 @@ object RelationalQueries {
       .mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    "q93_custdist" ->
+      """SELECT c_count, count(*)::BIGINT AS custdist FROM (
+        |  SELECT c.c_custkey, count(o.o_custkey)::BIGINT AS c_count
+        |  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        |  GROUP BY 1)
+        |GROUP BY 1""".stripMargin,
     "q92_logistic_gd" -> {
       val iter = (k: Int) =>
         s"""it$k AS (
