@@ -152,16 +152,19 @@ object RelationalQueries {
     * against a broadcast catalogue (get_best_matches,
     * entityMatching.py:59-78). StringSim.jaroWinkler implements the
     * strcmp95 0.7-boost-threshold variant — the same as DuckDB's
-    * jaro_winkler_similarity — so the oracle compares exactly. */
+    * jaro_winkler_similarity — so the oracle compares exactly.
+    * Scoring runs through the native codegen'd
+    * [[graft.plans.JaroWinklerExpression]] (not a UDF), so the whole
+    * broadcast theta join stays one WholeStageCodegen span. */
   def q15JaroLink(spark: SparkSession, dir: String): DataFrame = {
-    val jw = udf((a: String, b: String) => StringSim.jaroWinkler(a, b))
+    graft.plans.JaroWinklerExpression.register(spark)
     val s = t(spark, dir, "supplier").select("s_name")
     val c = t(spark, dir, "customer").select("c_name")
     // theta join: scored cross product with the small side broadcast;
     // top-1 via a single aggregate (min over (-score, name)) instead of
     // a full window sort — no per-group ordering of all pairs
     s.join(broadcast(c))
-      .withColumn("jw", round(jw(col("s_name"), col("c_name")), 6))
+      .withColumn("jw", round(expr("jaro_winkler(s_name, c_name)"), 6))
       .groupBy("s_name")
       .agg(min(struct((col("jw") * -1).as("njw"), col("c_name"), col("jw"))).as("best"))
       .select(col("s_name"), col("best.c_name").as("c_name"), col("best.jw").as("jw"))
@@ -411,7 +414,7 @@ object RelationalQueries {
     * the candidate set exactly; the production operator's hashed
     * multi-key blocking is spec-gated instead (BlockedLinkingSpec). */
   def q30BlockedLink(spark: SparkSession, dir: String): DataFrame = {
-    val jw = udf((a: String, b: String) => StringSim.jaroWinkler(a, b))
+    graft.plans.JaroWinklerExpression.register(spark)
     val p = t(spark, dir, "part").select(col("p_partkey"), col("p_name"))
     val m = p.filter(col("p_partkey") % 2 === 0)
       .select(col("p_name").as("m_name"),
@@ -421,7 +424,7 @@ object RelationalQueries {
         split(col("p_name"), " ").getItem(0).as("bkey"))
     m.join(c, "bkey")
       .select("m_name", "e_name").distinct()
-      .withColumn("jw", round(jw(col("m_name"), col("e_name")), 6))
+      .withColumn("jw", round(expr("jaro_winkler(m_name, e_name)"), 6))
       .groupBy("m_name")
       .agg(min(struct((col("jw") * -1).as("njw"), col("e_name"), col("jw"))).as("best"))
       .select(col("m_name"), col("best.e_name").as("e_name"), col("best.jw").as("jw"))
