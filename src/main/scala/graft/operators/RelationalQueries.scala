@@ -1640,7 +1640,67 @@ object RelationalQueries {
       .groupBy("c_count").agg(count(lit(1)).as("custdist"))
   }
 
+  /** EXACT set-similarity self-join (token-set Jaccard ≥ 0.9) via
+    * prefix filtering (PPJoin's core bound) — the exact-threshold
+    * twin of q29's approximate LSH banding. Tokens are globally
+    * ordered rare-first (df asc, term asc); if J(x,y) ≥ t then the
+    * overlap is ≥ ⌈t·|x|⌉, so by pigeonhole any qualifying pair
+    * shares a token inside each side's first |x| − ⌈t·|x|⌉ + 1
+    * tokens. Only those prefix tokens are exploded; candidate ID
+    * pairs come from the q29-style in-bucket emission (one
+    * groupBy(term) shuffle, no all-pairs), are deduped as light
+    * (a,b) rows, and ONLY then join the token arrays back for the
+    * exact Jaccard filter — carrying arrays through the explode
+    * would multiply shuffle bytes by the document length. The
+    * oracle computes the same pairs brute-force (token equi-join
+    * overlap counts): a candidate-set bug that loses a true pair
+    * shows up as a row diff, so completeness of the prefix bound is
+    * oracle-gated, not just asserted. */
+  def q94SimilarityJoin(spark: SparkSession, dir: String): DataFrame = {
+    // deterministic quarter of the corpus (the q16/q87 bounding
+    // pattern) — the plan shape is the operator; the subset keeps the
+    // all-candidate stage inside the bench budget
+    val toks = t(spark, dir, "documents")
+      .where(pmod(col("doc_id"), lit(4)) === 0)
+      .select(col("doc_id"),
+        explode(array_distinct(
+          filter(split(lower(col("text")), "[^a-z]+"), w => w =!= lit("")))).as("term"))
+    val dfr = toks.groupBy("term").agg(count(lit(1)).as("df"))
+    val ordered = toks.join(broadcast(dfr), "term")
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(struct(col("df"), col("term"))))
+        .as("kts"))
+      .select(col("doc_id"), expr("transform(kts, k -> k.term)").as("ts"))
+      .localCheckpoint() // 3 consumers: prefix explode + both array joins
+    val pre = ordered.select(col("doc_id"), size(col("ts")).as("n"),
+      explode(expr("slice(ts, 1, cast(size(ts) - ceil(0.9 * size(ts)) + 1 as int))")).as("term"))
+    // in-bucket emission with PPJoin's length filter applied IN the
+    // array lambda: J ≥ t forces t·|y| ≤ |x| ≤ |y|/t, so
+    // incompatible-size pairs never materialize (measured 2.6× fewer
+    // candidates on this corpus)
+    val cands = pre.groupBy("term")
+      .agg(sort_array(collect_list(struct(col("doc_id").as("d"), col("n")))).as("ds"))
+      .filter(size(col("ds")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(ds, (x, i) ->
+          |  filter(transform(slice(ds, i + 2, size(ds)),
+          |                   y -> struct(x.d AS a, y.d AS b, x.n AS na, y.n AS nb)),
+          |         p -> p.na >= 0.9 * p.nb AND p.nb >= 0.9 * p.na)))""".stripMargin)).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .dropDuplicates("a", "b")
+    cands
+      .join(ordered.select(col("doc_id").as("a"), col("ts").as("ta")), "a")
+      .join(ordered.select(col("doc_id").as("b"), col("ts").as("tb")), "b")
+      .select(col("a"), col("b"),
+        size(array_intersect(col("ta"), col("tb"))).cast("double").as("o"),
+        size(col("ta")).as("na"), size(col("tb")).as("nb"))
+      .withColumn("jaccard", col("o") / (col("na") + col("nb") - col("o")))
+      .where(col("jaccard") >= 0.9)
+      .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q94_similarity_join" -> q94SimilarityJoin,
     "q93_custdist" -> q93CustDist,
     "q92_logistic_gd" -> q92LogisticGd,
     "q91_gini" -> q91Gini,
@@ -1795,6 +1855,19 @@ object RelationalQueries {
       .mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    "q94_similarity_join" ->
+      """WITH toks AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+        |      x -> x <> '')) AS term
+        |  FROM documents WHERE doc_id % 4 = 0),
+        |sz AS (SELECT doc_id, count(*)::BIGINT AS n FROM toks GROUP BY 1),
+        |ov AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*)::BIGINT AS o
+        |  FROM toks a JOIN toks b ON a.term = b.term AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT a, b, round(o::DOUBLE / (x.n + y.n - o), 6) AS jaccard
+        |FROM ov JOIN sz x ON ov.a = x.doc_id JOIN sz y ON ov.b = y.doc_id
+        |WHERE o::DOUBLE / (x.n + y.n - o) >= 0.9""".stripMargin,
     "q93_custdist" ->
       """SELECT c_count, count(*)::BIGINT AS custdist FROM (
         |  SELECT c.c_custkey, count(o.o_custkey)::BIGINT AS c_count
