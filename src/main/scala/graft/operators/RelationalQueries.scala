@@ -1699,7 +1699,46 @@ object RelationalQueries {
       .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Sessionization via Spark's NATIVE session_window (gap 600 s) —
+    * the built-in operator form of q17's hand-rolled lag/flag
+    * sessionizer, and the batch twin of the streaming session
+    * aggregation. Semantics: an event extends its session iff it
+    * starts strictly before prev_ts + gap, so a gap of EXACTLY 600 s
+    * opens a new session (q17's `> 600` convention differs by that
+    * boundary — both are pinned by their oracles); session end =
+    * last ts + gap. One shuffle on user_id; SessionWindow merges
+    * in-partition. */
+  def q95SessionWindow(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy(col("user_id"), session_window(col("ts"), "600 seconds").as("sw"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("n_events"), col("sum_value"))
+
+  /** Salted equi-join through [[Skew.saltedJoin]] on a key made
+    * deterministically hot (every user_id ≡ 0 mod 3 collapses to key
+    * 0 — one key carrying a third of the fact table, the hot-entity
+    * shape the north rule names): dim rows replicate per salt, fact
+    * rows pick a deterministic salt, the join key becomes (key,
+    * salt) so the hot key spreads over `salt` reducers. The oracle
+    * is the PLAIN join — row-identical results are the correctness
+    * claim of the rewrite, here oracle-gated rather than only
+    * spec-asserted (SkewSpec). */
+  def q96SaltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val fact = t(spark, dir, "events").select(
+      when(pmod(col("user_id"), lit(3)) === 0, lit(0L))
+        .otherwise(col("user_id")).as("k"),
+      col("value"))
+    val dim = fact.select("k").distinct()
+      .withColumn("grp", pmod(col("k"), lit(7)).cast("long"))
+    Skew.saltedJoin(fact, dim, "k", salt = 8)
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q96_salted_join" -> q96SaltedJoin,
+    "q95_session_window" -> q95SessionWindow,
     "q94_similarity_join" -> q94SimilarityJoin,
     "q93_custdist" -> q93CustDist,
     "q92_logistic_gd" -> q92LogisticGd,
@@ -1855,6 +1894,32 @@ object RelationalQueries {
       .mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    "q95_session_window" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 600000000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, ts, value,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flagged)
+        |SELECT user_id, min(ts) AS session_start,
+        |  max(ts) + INTERVAL 600 SECOND AS session_end,
+        |  count(*)::BIGINT AS n_events,
+        |  round(sum(value), 2) AS sum_value
+        |FROM sess GROUP BY user_id, sid""".stripMargin,
+    "q96_salted_join" ->
+      """WITH fact AS (
+        |  SELECT CASE WHEN user_id % 3 = 0 THEN 0 ELSE user_id END AS k, value
+        |  FROM events),
+        |dim AS (SELECT DISTINCT k, (k % 7)::BIGINT AS grp FROM fact)
+        |SELECT grp, count(*)::BIGINT AS n, round(sum(value), 2) AS sum_value
+        |FROM fact JOIN dim USING (k)
+        |GROUP BY 1""".stripMargin,
     "q94_similarity_join" ->
       """WITH toks AS (
         |  SELECT DISTINCT doc_id,
