@@ -1736,7 +1736,52 @@ object RelationalQueries {
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
   }
 
+  /** Lag-1 autocorrelation of the daily event-count series per type —
+    * the seasonality/drift screen over telemetry. The raw scan
+    * collapses to the aggregate-sized (type, day) frame in one
+    * partial-aggable shuffle; the lag window and the corr() moment
+    * sketch both run on that tiny frame in the same type-keyed
+    * layout. Rows with no previous day drop out of corr (both
+    * engines skip NULL pairs). */
+  def q97Autocorr(spark: SparkSession, dir: String): DataFrame = {
+    val daily = t(spark, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).cast("double").as("n"))
+    val w = Window.partitionBy("event_type").orderBy(col("day").asc)
+    daily.withColumn("prev", lag("n", 1).over(w))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"), round(corr("n", "prev"), 6).as("acf1"))
+  }
+
+  /** Benford first-significant-digit profile of the value column:
+    * observed share per digit vs the Benford expectation
+    * log10(1 + 1/d) and the χ² contribution — the fabricated-data /
+    * distribution-shift screen. The digit is extracted EXACTLY:
+    * values carry 2 decimals, so round(v·100) is an integer whose
+    * decimal rendering is identical in every engine and whose first
+    * character is the significant digit — no log10/pow in the digit
+    * path, where a 1-ulp libm difference could flip a floor. One
+    * map-side-combined 9-group aggregate + a 1-row total broadcast. */
+  def q98Benford(spark: SparkSession, dir: String): DataFrame = {
+    val digits = t(spark, dir, "events")
+      .where(col("value") > 0)
+      .select(substring(round(col("value") * 100, 0).cast("long").cast("string"), 1, 1)
+        .cast("long").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val tot = digits.agg(sum("n").cast("double").as("total"))
+    digits.crossJoin(broadcast(tot))
+      .withColumn("observed", col("n") / col("total"))
+      .withColumn("expected", log10(lit(1.0) + lit(1.0) / col("digit")))
+      .select(col("digit"), col("n"),
+        round(col("observed"), 6).as("observed"),
+        round(col("expected"), 6).as("expected"),
+        round((col("observed") - col("expected")) * (col("observed") - col("expected")) /
+          col("expected") * col("total"), 6).as("chi2"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q98_benford" -> q98Benford,
+    "q97_autocorr" -> q97Autocorr,
     "q96_salted_join" -> q96SaltedJoin,
     "q95_session_window" -> q95SessionWindow,
     "q94_similarity_join" -> q94SimilarityJoin,
@@ -1894,6 +1939,30 @@ object RelationalQueries {
       .mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    "q97_autocorr" ->
+      """WITH daily AS (
+        |  SELECT event_type, ts::DATE AS day, count(*)::DOUBLE AS n
+        |  FROM events GROUP BY 1, 2),
+        |lagged AS (
+        |  SELECT event_type, n,
+        |    lag(n) OVER (PARTITION BY event_type ORDER BY day ASC) AS prev
+        |  FROM daily)
+        |SELECT event_type, count(*)::BIGINT AS n_days,
+        |  round(corr(n, prev), 6) AS acf1
+        |FROM lagged GROUP BY 1""".stripMargin,
+    "q98_benford" ->
+      """WITH digits AS (
+        |  SELECT substr(round(value * 100, 0)::BIGINT::VARCHAR, 1, 1)::BIGINT AS digit,
+        |    count(*)::BIGINT AS n
+        |  FROM events WHERE value > 0 GROUP BY 1),
+        |tot AS (SELECT sum(n)::DOUBLE AS total FROM digits)
+        |SELECT digit, n,
+        |  round(n / total, 6) AS observed,
+        |  round(log10(1.0 + 1.0 / digit), 6) AS expected,
+        |  round((n / total - log10(1.0 + 1.0 / digit))
+        |    * (n / total - log10(1.0 + 1.0 / digit))
+        |    / log10(1.0 + 1.0 / digit) * total, 6) AS chi2
+        |FROM digits, tot""".stripMargin,
     "q95_session_window" ->
       """WITH flagged AS (
         |  SELECT user_id, event_id, ts, value,
