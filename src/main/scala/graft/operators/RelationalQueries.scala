@@ -1779,7 +1779,33 @@ object RelationalQueries {
           col("expected") * col("total"), 6).as("chi2"))
   }
 
+  /** Weekday-vs-weekend event-mix shift: the event_type distribution
+    * conditioned on day regime, with per-type total-variation and KL
+    * contributions — the conditional-distribution drift screen (the
+    * regime twin of q49's language-mix KL). Day-of-week is derived
+    * portably as days-since-a-known-Monday mod 7 (Spark dayofweek is
+    * 1=Sunday, DuckDB dayofweek is 0=Sunday — an off-by-one trap the
+    * epoch arithmetic sidesteps). One partial-aggable shuffle of
+    * |types| groups; regime totals ride a window over that tiny
+    * frame. */
+  def q99RegimeShift(spark: SparkSession, dir: String): DataFrame = {
+    val wkend = pmod(datediff(to_date(col("ts")), lit("1970-01-05").cast("date")), lit(7)) >= 5
+    val counts = t(spark, dir, "events")
+      .groupBy("event_type")
+      .agg(sum(wkend.cast("long")).as("cw"), sum((!wkend).cast("long")).as("cd"))
+    val w = Window.partitionBy(lit(1))
+    counts
+      .withColumn("pw", col("cw") / sum("cw").over(w))
+      .withColumn("pd", col("cd") / sum("cd").over(w))
+      .select(col("event_type"), col("cw"), col("cd"),
+        round(col("pw"), 6).as("p_weekend"),
+        round(col("pd"), 6).as("p_weekday"),
+        round(abs(col("pw") - col("pd")) / 2, 6).as("tvd_part"),
+        round(col("pw") * log(col("pw") / col("pd")), 6).as("kl_part"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q99_regime_shift" -> q99RegimeShift,
     "q98_benford" -> q98Benford,
     "q97_autocorr" -> q97Autocorr,
     "q96_salted_join" -> q96SaltedJoin,
@@ -1939,6 +1965,19 @@ object RelationalQueries {
       .mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    "q99_regime_shift" ->
+      """WITH counts AS (
+        |  SELECT event_type,
+        |    sum(((ts::DATE - DATE '1970-01-05') % 7 >= 5)::INT)::BIGINT AS cw,
+        |    sum(((ts::DATE - DATE '1970-01-05') % 7 < 5)::INT)::BIGINT AS cd
+        |  FROM events GROUP BY 1),
+        |tot AS (SELECT sum(cw)::DOUBLE AS tw, sum(cd)::DOUBLE AS td FROM counts)
+        |SELECT event_type, cw, cd,
+        |  round(cw / tw, 6) AS p_weekend,
+        |  round(cd / td, 6) AS p_weekday,
+        |  round(abs(cw / tw - cd / td) / 2, 6) AS tvd_part,
+        |  round(cw / tw * ln((cw / tw) / (cd / td)), 6) AS kl_part
+        |FROM counts, tot""".stripMargin,
     "q97_autocorr" ->
       """WITH daily AS (
         |  SELECT event_type, ts::DATE AS day, count(*)::DOUBLE AS n
