@@ -170,22 +170,22 @@ object RelationalQueries {
       .select(col("s_name"), col("best.c_name").as("c_name"), col("best.jw").as("jw"))
   }
 
-  /** Brute-force cosine top-k ANN over the embedding column, double
-    * math via higher-order functions (no UDF in the hot path). */
+  /** Brute-force cosine top-k ANN over the embedding column. Scoring
+    * runs through the native codegen'd
+    * [[graft.plans.CosineSimilarityExpression]] — one fused loop over
+    * both vector buffers, replacing the higher-order
+    * aggregate(zip_with(...)) chain that materialized the product
+    * array per candidate row; accumulation order is identical, so
+    * the oracle holds bit-exactly. */
   def q16AnnBruteForce(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.CosineSimilarityExpression.register(spark)
     val e = t(spark, dir, "embeddings")
     val q = e.filter(col("vec_id") === 0)
       .select(col("embedding").cast("array<double>").as("qvec"))
-    val sim = {
-      val dot = expr("aggregate(zip_with(evec, qvec, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
-      val na = expr("aggregate(evec, 0D, (acc, v) -> acc + v * v)")
-      val nb = expr("aggregate(qvec, 0D, (acc, v) -> acc + v * v)")
-      dot / sqrt(na * nb)
-    }
     e.filter(col("vec_id") =!= 0)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("evec"))
       .crossJoin(broadcast(q))
-      .withColumn("sim", round(sim, 4))
+      .withColumn("sim", round(expr("cosine_sim(evec, qvec)"), 4))
       .orderBy(col("sim").desc, col("vec_id"))
       .limit(5)
       .select("vec_id", "sim")
@@ -1493,20 +1493,15 @@ object RelationalQueries {
     * twin of q37's ANN recall gates. The 20-query side broadcasts;
     * the rank window gets WindowGroupLimit pushdown. */
   def q87RetrievalMrr(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.CosineSimilarityExpression.register(spark)
     val e = t(spark, dir, "embeddings")
       .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
     val qs = e.filter(col("vec_id") < 20)
       .select(col("vec_id").as("q_id"), col("label").as("q_label"), col("v").as("qv"))
-    val cos = {
-      val dot = expr("aggregate(zip_with(v, qv, (x, y) -> x * y), 0D, (acc, w) -> acc + w)")
-      val na = expr("aggregate(v, 0D, (acc, w) -> acc + w * w)")
-      val nb = expr("aggregate(qv, 0D, (acc, w) -> acc + w * w)")
-      dot / sqrt(na * nb)
-    }
     val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id").asc)
     e.filter(col("vec_id") >= 20)
       .crossJoin(broadcast(qs))
-      .withColumn("sim", round(cos, 4))
+      .withColumn("sim", round(expr("cosine_sim(v, qv)"), 4))
       .withColumn("rk", row_number().over(w)).where(col("rk") <= 10)
       .groupBy("q_id", "q_label")
       .agg(sum((col("label") === col("q_label")).cast("int")).as("n_rel_top10"),

@@ -71,7 +71,10 @@ object JaroWinklerExpression {
   * function available in every session of the application without
   * per-query registration. */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction((JaroWinklerExpression.ident,
       JaroWinklerExpression.info, JaroWinklerExpression.builder))
+    ext.injectFunction((CosineSimilarityExpression.ident,
+      CosineSimilarityExpression.info, CosineSimilarityExpression.builder))
+  }
 }

@@ -45,6 +45,27 @@ class JaroWinklerExprSpec extends AnyFunSuite {
     assert(p.contains("jaro_winkler"), p.take(800))
   }
 
+  test("cosine_sim expression ≡ the higher-order aggregate/zip_with chain, bit-exact") {
+    import spark.implicits._
+    graft.plans.CosineSimilarityExpression.register(spark)
+    val rnd = new scala.util.Random(7)
+    val vecs = Seq.fill(200)((
+      Array.fill(16)(rnd.nextDouble() * 2 - 1),
+      Array.fill(16)(rnd.nextDouble() * 2 - 1)))
+    val df = vecs.toDF("a", "b")
+    val got = df.select(
+      expr("cosine_sim(a, b)").as("native"),
+      (expr("aggregate(zip_with(a, b, (x, y) -> x * y), 0D, (acc, w) -> acc + w)") /
+        sqrt(expr("aggregate(a, 0D, (acc, w) -> acc + w * w)") *
+          expr("aggregate(b, 0D, (acc, w) -> acc + w * w)"))).as("hof"))
+      .as[(Double, Double)].collect()
+    got.foreach { case (n, h) => assert(n == h) } // bit-exact, no tolerance
+    // zero-norm → NaN on both spellings
+    val z = Seq((Array(0.0, 0.0), Array(1.0, 2.0))).toDF("a", "b")
+      .select(expr("cosine_sim(a, b)")).as[Double].head()
+    assert(z.isNaN)
+  }
+
   test("GraftExtensions injects the function builder without error") {
     // building a fully-configured session would collide with the
     // shared test session; exercising the injection closure against a
