@@ -133,12 +133,12 @@ object FewShots {
     * pool:    (vec_id long, evec array<double>) — the scan side.
     */
   def sentenceKnnJoin(queries: DataFrame, pool: DataFrame, k: Int): DataFrame = {
-    val dot = expr("aggregate(zip_with(evec, qvec, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
-    val na = expr("aggregate(evec, 0D, (acc, v) -> acc + v * v)")
-    val nb = expr("aggregate(qvec, 0D, (acc, v) -> acc + v * v)")
+    // native fused-loop cosine (plans/CosineSimilarityExpression) —
+    // bit-identical to the former aggregate(zip_with(...)) chain
+    graft.plans.CosineSimilarityExpression.register(pool.sparkSession)
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id"))
     pool.join(broadcast(queries))
-      .withColumn("sim", round(dot / sqrt(na * nb), 4))
+      .withColumn("sim", round(expr("cosine_sim(evec, qvec)"), 4))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "vec_id", "sim", "rank")
@@ -160,13 +160,11 @@ object FewShots {
     * trainTokens: (train_id long, tvec array<double>) — the scan side.
     */
   def entityKnnJoin(queryTokens: DataFrame, trainTokens: DataFrame, k: Int): DataFrame = {
-    val dot = expr("aggregate(zip_with(tvec, qvec, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
-    val na = expr("aggregate(tvec, 0D, (acc, v) -> acc + v * v)")
-    val nb = expr("aggregate(qvec, 0D, (acc, v) -> acc + v * v)")
+    graft.plans.CosineSimilarityExpression.register(trainTokens.sparkSession)
     val wTok = Window.partitionBy("query_id", "token_pos")
       .orderBy(col("sim").desc, col("train_id"))
     val perToken = trainTokens.join(broadcast(queryTokens))
-      .withColumn("sim", round(dot / sqrt(na * nb), 4))
+      .withColumn("sim", round(expr("cosine_sim(tvec, qvec)"), 4))
       .withColumn("tok_rank", row_number().over(wTok))
       .filter(col("tok_rank") <= k)
     val best = perToken.groupBy("query_id", "train_id").agg(max("sim").as("sim"))
