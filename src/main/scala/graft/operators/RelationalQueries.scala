@@ -1799,7 +1799,60 @@ object RelationalQueries {
         round(col("pw") * log(col("pw") / col("pd")), 6).as("kl_part"))
   }
 
+  /** Sequence-gap audit (ingestion-completeness check): exact missing
+    * ranges of the event_id sequence, with deterministic holes
+    * punched (ids ≡ 0 mod 97 dropped) so the result is non-trivial.
+    * SCALE-SAFE spelling: a windowed lag with no PARTITION BY would
+    * collapse to ONE partition — instead ids are bucketed (÷1000),
+    * within-bucket gaps use a bucket-partitioned lag, and
+    * cross-boundary gaps come from a lag over the aggregate-sized
+    * per-bucket (min,max) frame; empty buckets cannot occur between
+    * non-empty ones here because bucket ids come from surviving rows
+    * and every 1000-id bucket keeps ≥ 989 ids. One id-bucket shuffle
+    * of raw rows plus one tiny-frame window. */
+  def q100IdGaps(spark: SparkSession, dir: String): DataFrame = {
+    val ids = t(spark, dir, "events")
+      .where(pmod(col("event_id"), lit(97)) =!= 0)
+      .select(col("event_id").as("id"), (col("event_id") / 1000).cast("long").as("b"))
+    val wIn = Window.partitionBy("b").orderBy(col("id").asc)
+    val inner = ids.withColumn("prev", lag("id", 1).over(wIn))
+      .where(col("prev").isNotNull && col("id") - col("prev") > 1)
+      .select((col("prev") + 1).as("gap_start"), (col("id") - 1).as("gap_end"))
+    val bounds = ids.groupBy("b").agg(min("id").as("lo"), max("id").as("hi"))
+    val wB = Window.orderBy(col("b").asc) // aggregate-sized frame only
+    val boundary = bounds.withColumn("prev_hi", lag("hi", 1).over(wB))
+      .where(col("prev_hi").isNotNull && col("lo") - col("prev_hi") > 1)
+      .select((col("prev_hi") + 1).as("gap_start"), (col("lo") - 1).as("gap_end"))
+    inner.unionByName(boundary)
+      .withColumn("n_missing", col("gap_end") - col("gap_start") + 1)
+  }
+
+  /** One-pass column profile of the events table (the data-quality
+    * screen before any training run): per column its null count and
+    * distinct count, emitted long-form. All moments come from ONE
+    * aggregate (multi-countDistinct plans as a single Expand +
+    * aggregate pass); the wide 1-row result is melted with literal
+    * selects, so no second scan. */
+  def q101DataProfile(spark: SparkSession, dir: String): DataFrame = {
+    val wide = t(spark, dir, "events").agg(
+      count(lit(1)).as("n"),
+      sum(col("event_type").isNull.cast("long")).as("null_t"),
+      countDistinct(col("event_type")).as("dist_t"),
+      sum(col("user_id").isNull.cast("long")).as("null_u"),
+      countDistinct(col("user_id")).as("dist_u"),
+      sum(col("value").isNull.cast("long")).as("null_v"),
+      countDistinct(col("value")).as("dist_v"))
+    def one(colName: String, nn: String, dd: String) =
+      wide.select(lit(colName).as("column"), col("n"),
+        col(nn).as("n_null"), col(dd).as("n_distinct"))
+    one("event_type", "null_t", "dist_t")
+      .unionByName(one("user_id", "null_u", "dist_u"))
+      .unionByName(one("value", "null_v", "dist_v"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q101_data_profile" -> q101DataProfile,
+    "q100_id_gaps" -> q100IdGaps,
     "q99_regime_shift" -> q99RegimeShift,
     "q98_benford" -> q98Benford,
     "q97_autocorr" -> q97Autocorr,
@@ -1960,6 +2013,23 @@ object RelationalQueries {
       .mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    "q100_id_gaps" ->
+      """WITH ids AS (
+        |  SELECT event_id AS id FROM events WHERE event_id % 97 <> 0)
+        |SELECT prev + 1 AS gap_start, id - 1 AS gap_end,
+        |  (id - prev - 1)::BIGINT AS n_missing
+        |FROM (SELECT id, lag(id) OVER (ORDER BY id) AS prev FROM ids)
+        |WHERE prev IS NOT NULL AND id - prev > 1""".stripMargin,
+    "q101_data_profile" ->
+      """SELECT 'event_type' AS "column", count(*)::BIGINT AS n,
+        |  sum((event_type IS NULL)::INT)::BIGINT AS n_null,
+        |  count(DISTINCT event_type)::BIGINT AS n_distinct FROM events
+        |UNION ALL
+        |SELECT 'user_id', count(*)::BIGINT, sum((user_id IS NULL)::INT)::BIGINT,
+        |  count(DISTINCT user_id)::BIGINT FROM events
+        |UNION ALL
+        |SELECT 'value', count(*)::BIGINT, sum((value IS NULL)::INT)::BIGINT,
+        |  count(DISTINCT value)::BIGINT FROM events""".stripMargin,
     "q99_regime_shift" ->
       """WITH counts AS (
         |  SELECT event_type,
