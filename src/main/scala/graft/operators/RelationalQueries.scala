@@ -1850,7 +1850,34 @@ object RelationalQueries {
       .unionByName(one("value", "null_v", "dist_v"))
   }
 
+  /** Weighted median per group (weight = 1 + user_id mod 3, a
+    * deterministic per-row weight standing in for the corpus-mixing
+    * weights of q46/q69): the first value, in (value, event_id)
+    * order, whose running weight reaches half the group total — the
+    * weighted-quantile primitive behind mixture rebalancing. One
+    * shuffle on the group key; the cumulative window and the
+    * half-total broadcast both reuse that layout (the total rides a
+    * partition-wide window, not a second scan). */
+  def q102WeightedMedian(spark: SparkSession, dir: String): DataFrame = {
+    val base = t(spark, dir, "events").select(
+      col("event_type"), col("value"), col("event_id"),
+      (lit(1) + pmod(col("user_id"), lit(3))).cast("double").as("wt"))
+    val wOrd = Window.partitionBy("event_type")
+      .orderBy(col("value").asc, col("event_id").asc)
+    val wAll = Window.partitionBy("event_type")
+    val ranked = base
+      .withColumn("cumw", sum("wt").over(wOrd))
+      .withColumn("total", sum("wt").over(wAll))
+      .where(col("cumw") >= col("total") / 2)
+    val w1 = Window.partitionBy("event_type")
+      .orderBy(col("value").asc, col("event_id").asc)
+    ranked.withColumn("rk", row_number().over(w1)).where(col("rk") === 1)
+      .select(col("event_type"), round(col("value"), 2).as("weighted_median"),
+        round(col("total"), 1).as("total_weight"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q102_weighted_median" -> q102WeightedMedian,
     "q101_data_profile" -> q101DataProfile,
     "q100_id_gaps" -> q100IdGaps,
     "q99_regime_shift" -> q99RegimeShift,
@@ -2013,6 +2040,24 @@ object RelationalQueries {
       .mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    "q102_weighted_median" ->
+      """WITH base AS (
+        |  SELECT event_type, value, event_id,
+        |    (1 + user_id % 3)::DOUBLE AS wt
+        |  FROM events),
+        |ranked AS (
+        |  SELECT event_type, value,
+        |    sum(wt) OVER (PARTITION BY event_type
+        |      ORDER BY value ASC, event_id ASC ROWS UNBOUNDED PRECEDING) AS cumw,
+        |    sum(wt) OVER (PARTITION BY event_type) AS total
+        |  FROM base),
+        |hit AS (
+        |  SELECT event_type, value, total,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY cumw ASC) AS rk
+        |  FROM ranked WHERE cumw >= total / 2)
+        |SELECT event_type, round(value, 2) AS weighted_median,
+        |  round(total, 1) AS total_weight
+        |FROM hit WHERE rk = 1""".stripMargin,
     "q100_id_gaps" ->
       """WITH ids AS (
         |  SELECT event_id AS id FROM events WHERE event_id % 97 <> 0)
