@@ -138,19 +138,22 @@ object SparkEntry {
       // labels[].versions[] docs → explode flatten → evaluation
       // (myMongoClient.py:123-142 → testingLLMperformance.py:50-84)
       val n = if (dir.contains("sf0.1")) 5000L else if (dir.contains("sf0.01")) 1000L else 200L
-      // localCheckpoint: the flatten is a SHUFFLE (nested roll-up) and
-      // evaluate fans out into ~6 branches — materialize it once
-      // instead of recomputing the shuffle per branch
+      // no checkpoint here: scoreFrame materializes the post-union
+      // frame once, which already covers both consumers of the flatten
       val lvs = operators.LabelEval.flattenLabelVersions(
-        operators.LabelEval.syntheticNestedDocs(s, n), "/storage/").localCheckpoint()
+        operators.LabelEval.syntheticNestedDocs(s, n), "/storage/")
       val gold = lvs.toDF().select("doc_id").distinct()
         .withColumn("label_name", org.apache.spark.sql.functions.lit("gold-marker"))
         .withColumn("label_value", org.apache.spark.sql.functions.lit("x"))
         .withColumn("confidence", org.apache.spark.sql.functions.lit(1.0))
         .withColumn("model", org.apache.spark.sql.functions.lit("user"))
         .withColumn("created_on", org.apache.spark.sql.functions.lit(new java.sql.Timestamp(0L)))
-      val (_, scoreDf) = operators.LabelEval.evaluate(lvs, gold)
-      scoreDf
+      // r6: the query's output is the score FRAME only — evaluate()'s
+      // eagerly-computed Scores scalars (an extra .head() job plus the
+      // anti-join diagnostics branch) were discarded here, so this now
+      // runs the frame-only path (2 jobs instead of 5; results
+      // identical, evaluate() itself unchanged for the spec gates)
+      operators.LabelEval.scoreFrame(lvs, gold)
     }),
     "multimodal_features" -> ((s, dir) => {
       import s.implicits._

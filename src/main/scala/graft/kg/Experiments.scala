@@ -87,10 +87,24 @@ object Experiments {
                     arms: Seq[Arm], nbRuns: Int = 3, testPct: Int = 20,
                     poolSize: Int = 240): Dataset[RunScore] = {
     import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
     val turns = TranscriptGen.transcripts(spark, cfg).cache()
     val gold = TranscriptGen.goldMentions(spark, cfg).cache()
     try {
-      val scores = (0 until nbRuns).flatMap { run =>
+      // materialize the two shared caches up front (concurrently) so
+      // the per-run jobs below never race on filling them
+      Await.result(Future.sequence(Seq(
+        Future(turns.count()), Future(gold.count()))), Duration.Inf)
+      // r6: RUNS evaluate concurrently too, not just the arms within a
+      // run (guide §2.6 "overlap independent jobs"): each run's pool
+      // build + arm evaluations are independent jobs over the shared
+      // caches, so run 1's arms back-fill the executor slots run 0's
+      // stragglers leave idle. Scores don't interact and
+      // Future.sequence preserves (run, arm) order — the produced
+      // Dataset is row-identical to the sequential loop's.
+      val scores = Await.result(Future.sequence((0 until nbRuns).map { run => Future {
         val seed = RunSeeds(run % RunSeeds.length)
         val (trainT, testT) = seededSplit(turns, "conv_id", testPct, seed)
         val (trainG, testG) = seededSplit(gold, "conv_id", testPct, seed)
@@ -101,11 +115,6 @@ object Experiments {
         // the shared cached test split, so their stages interleave
         // and fill the 32 local slots a single small job leaves idle
         // — measured 7.9 s → 4.2 s on the 2-run × 3-arm grid).
-        // Results stay deterministic: per-arm scores don't interact,
-        // Future.sequence preserves arm order.
-        import scala.concurrent.{Await, Future}
-        import scala.concurrent.ExecutionContext.Implicits.global
-        import scala.concurrent.duration.Duration
         val armScores = Await.result(Future.sequence(arms.map { arm => Future {
           val t0 = System.nanoTime()
           val prompts = Extraction.buildPromptsWithShots(
@@ -118,7 +127,7 @@ object Experiments {
         } }), Duration.Inf)
         testGoldCached.unpersist()
         armScores
-      }
+      } }), Duration.Inf).flatten
       spark.createDataset(scores)
     } finally { turns.unpersist(); gold.unpersist() }
   }

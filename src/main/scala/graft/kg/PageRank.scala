@@ -33,8 +33,14 @@ object PageRank {
   def run(edges: DataFrame, damping: Double = 0.85,
           iterations: Option[Int] = None,
           maxIter: Int = 40, tol: Double = 1e-9): DataFrame = {
-    val vertices = edges.select(col("src").as("vertex"))
-      .union(edges.select(col("dst").as("vertex")))
+    // r6: materialize the edge table ONCE — it feeds four derivations
+    // (vertices twice via the union, wout, trans), each of which would
+    // otherwise re-run the caller's whole edge pipeline (q68: the full
+    // co-occurrence groupBy per consumer; guide §2.4 "remove shuffles
+    // outright" — here remove whole repeated passes)
+    val e = edges.localCheckpoint()
+    val vertices = e.select(col("src").as("vertex"))
+      .union(e.select(col("dst").as("vertex")))
       .distinct()
       .localCheckpoint()
     val n = vertices.count()
@@ -42,8 +48,8 @@ object PageRank {
 
     // out-strength per src, then per-edge transition probability;
     // static across rounds → checkpoint once.
-    val wout = edges.groupBy("src").agg(sum("weight").as("wout"))
-    val trans = edges.join(wout, "src")
+    val wout = e.groupBy("src").agg(sum("weight").as("wout"))
+    val trans = e.join(wout, "src")
       .select(col("src"), col("dst"), (col("weight") / col("wout")).as("p"))
       .localCheckpoint()
     // dangling vertices: no out-edges; their whole rank redistributes.
@@ -56,15 +62,22 @@ object PageRank {
     var delta = Double.MaxValue
     val rounds = iterations.getOrElse(maxIter)
     while (iter < rounds && (iterations.isDefined || delta > tol)) {
+      // dangling mass stays IN the plan as a 1-row aggregate broadcast
+      // back onto the update (the q67 nCtx pattern): same sum, but the
+      // round no longer pays a separate collect job for one double —
+      // fixed-iteration rounds are ONE job each instead of two.
+      // Convergence mode still collects (the loop condition needs the
+      // delta driver-side — the iterative contract's one scalar).
       val danglingMass = dangling.join(ranks, "vertex")
-        .agg(coalesce(sum("rank"), lit(0.0))).head().getDouble(0)
+        .agg(coalesce(sum("rank"), lit(0.0)).as("dmass"))
       val contribs = trans.join(ranks, trans("src") === ranks("vertex"))
         .select(trans("dst").as("vertex"), (col("p") * col("rank")).as("c"))
         .groupBy("vertex").agg(sum("c").as("inflow"))
       val next = vertices.join(contribs, Seq("vertex"), "left")
+        .crossJoin(broadcast(danglingMass))
         .select(col("vertex"),
           (lit(base) + lit(damping) *
-            (coalesce(col("inflow"), lit(0.0)) + lit(danglingMass / n))).as("rank"))
+            (coalesce(col("inflow"), lit(0.0)) + col("dmass") / lit(n.toDouble))).as("rank"))
         .localCheckpoint()
       if (iterations.isEmpty)
         delta = ranks.join(next.withColumnRenamed("rank", "nrank"), "vertex")

@@ -225,6 +225,23 @@ object LabelEval {
       .as[LabelVersion]
   }
 
+  /** Just the per-(doc,label) score frame — the pipeline through
+    * [[checkLabelValues]] WITHOUT the [[scores]] scalar aggregation
+    * (its own eager `.head()` job) and without the anti-join
+    * diagnostics that only the scalars consume. The bench/driver
+    * `label_eval` query returns this frame alone, so computing the
+    * discarded scalars was a wasted action + branch (guide §1.2:
+    * "don't compute things you throw away"). `cleaned` is materialized
+    * once: the three checkLabelValues branches would otherwise each
+    * re-run the max-conf WINDOW + union. */
+  def scoreFrame(lv: Dataset[LabelVersion], gold: DataFrame): DataFrame = {
+    val filtered = maxConfPerGroup(filterModels(lv)).toDF()
+    val normalized = normalizeDates(filtered)
+    val unioned = normalized.unionByName(gold, allowMissingColumns = true)
+    val cleaned = dropMetaLabels(unioned).localCheckpoint()
+    checkLabelValues(cleaned)
+  }
+
   /** Full pipeline (get_LLM_performance, testingLLMperformance.py:50-84).
     * `normalized` is materialized once (localCheckpoint): it feeds the
     * anti-join diagnostics, the gold union and (through it) the three

@@ -158,11 +158,25 @@ object RelationalQueries {
     * broadcast theta join stays one WholeStageCodegen span. */
   def q15JaroLink(spark: SparkSession, dir: String): DataFrame = {
     graft.plans.JaroWinklerExpression.register(spark)
+    // repartition the STREAM side by the group key before fanning out
+    // the broadcast theta join: the supplier file is one scan split, so
+    // without it the |s|×|c| scoring runs on ONE core (r6 measured the
+    // full-column path at 16.4 s noop); the exchange moves only |s|
+    // rows and doubles as the window's required distribution, so no
+    // second shuffle of the scored pairs happens (guide §2.4). The
+    // partition count must be EXPLICIT (defaultParallelism, i.e. the
+    // session's core count — never a hard-coded constant): a keyed
+    // repartition without one is AQE-coalesced back to ONE partition
+    // because the pre-fan-out input is tiny (measured 20-36 s vs 1.3 s)
     val s = t(spark, dir, "supplier").select("s_name")
+      .repartition(spark.sparkContext.defaultParallelism, col("s_name"))
     val c = t(spark, dir, "customer").select("c_name")
-    // theta join: scored cross product with the small side broadcast;
-    // top-1 via a single aggregate (min over (-score, name)) instead of
-    // a full window sort — no per-group ordering of all pairs
+    // top-1 via a single aggregate (min over (-score, name)) instead
+    // of a full window sort — no per-group ordering of all pairs. With
+    // the repartition above, the SortAggregate this struct-buffer
+    // aggregate falls back to runs on per-core slices (r6: a window +
+    // WindowGroupLimit variant was measured too — its count/noop walls
+    // were 1.8/1.25 s vs 0.33/1.5 s here, so the aggregate stays)
     s.join(broadcast(c))
       .withColumn("jw", round(expr("jaro_winkler(s_name, c_name)"), 6))
       .groupBy("s_name")
@@ -422,12 +436,22 @@ object RelationalQueries {
     val c = p.filter(col("p_partkey") % 2 === 1)
       .select(col("p_name").as("e_name"),
         split(col("p_name"), " ").getItem(0).as("bkey"))
+    // top-1 per mention via the q15 rank-limit window (row_number ≤ 1
+    // → WindowGroupLimit) — same (jw desc, e_name) ordering as the r5
+    // min-over-struct aggregate it replaces, without that aggregate's
+    // SortAggregate fallback over every candidate pair
+    val w = Window.partitionBy("m_name").orderBy(col("jw").desc, col("e_name"))
+    // the candidate-pair distinct is load-bearing: part NAMES repeat
+    // across partkeys, so the equi-join emits each (m_name, e_name)
+    // once per duplicate-pair combination — deduping BEFORE scoring
+    // keeps the JW pass on distinct pairs only (removing it measured
+    // 1.8 s → 12 s at sf0.1)
     m.join(c, "bkey")
       .select("m_name", "e_name").distinct()
       .withColumn("jw", round(expr("jaro_winkler(m_name, e_name)"), 6))
-      .groupBy("m_name")
-      .agg(min(struct((col("jw") * -1).as("njw"), col("e_name"), col("jw"))).as("best"))
-      .select(col("m_name"), col("best.e_name").as("e_name"), col("best.jw").as("jw"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("m_name"), col("e_name"), col("jw"))
   }
 
   /** Oracle-grade shadow of the logit-confidence suite
@@ -1074,7 +1098,11 @@ object RelationalQueries {
     * is gated separately in PageRankSpec against analytic fixtures
     * and an independent dense implementation. */
   def q68Pagerank(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = cooccurrencePairs(eventContexts(spark, dir))
+    // materialize the pair counts before symmetrizing: the union reads
+    // `pairs` twice, and without the checkpoint each branch re-runs
+    // the whole co-occurrence pipeline (2 shuffles over events) inside
+    // PageRank's edge materialization
+    val pairs = cooccurrencePairs(eventContexts(spark, dir)).localCheckpoint()
     val edges = pairs.select(col("ea").as("src"), col("eb").as("dst"),
         col("nab").cast("double").as("weight"))
       .union(pairs.select(col("eb").as("src"), col("ea").as("dst"),
@@ -1329,10 +1357,16 @@ object RelationalQueries {
         "flatten(transform(ps, (p, i) -> transform(slice(ps, i + 2, size(ps)), q -> struct(p AS a, q AS b))))")).as("e"))
       .select(col("e.a").as("a"), col("e.b").as("b")).distinct()
       .localCheckpoint()
+    // r6: the degree frame feeds FOUR consumers (wedges, n_nodes and
+    // both orientation joins) — materialize it once (it is aggregate-
+    // sized: one row per node) instead of re-running the union+groupBy
+    // over the edge table per consumer; n_nodes and wedges then come
+    // out of ONE aggregate pass over it (plan went 50 Exchanges → 13)
     val deg = pairs.select(col("a").as("v")).unionAll(pairs.select(col("b").as("v")))
       .groupBy("v").agg(count(lit(1)).as("d"))
-    val wedges = deg.agg(sum(col("d") * (col("d") - 1) / lit(2)).as("wedges"))
-    val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
+      .localCheckpoint()
+    val degStats = deg.agg(count(lit(1)).as("n_nodes"),
+      sum(col("d") * (col("d") - 1) / lit(2)).as("wedges"))
     val nEdges = pairs.agg(count(lit(1)).as("n_edges"))
     // Degree-oriented counting (the triangle count is orientation-
     // invariant, so the oracle SQL's id-oriented 3-way join agrees):
@@ -1347,20 +1381,24 @@ object RelationalQueries {
     // at sf0.1: 9.6 s → 2.1 s).
     val da = deg.select(col("v").as("a"), col("d").as("da"))
     val db = deg.select(col("v").as("b"), col("d").as("db"))
+    // oriented feeds the adjacency aggregate AND the triangle join;
+    // adj feeds both sides of that join — materialize each once
     val oriented = pairs.join(da, "a").join(db, "b")
       .select(
         when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
           col("a")).otherwise(col("b")).as("src"),
         when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
           col("b")).otherwise(col("a")).as("dst"))
+      .localCheckpoint()
     val adj = oriented.groupBy("src").agg(collect_list("dst").as("ns"))
+      .localCheckpoint()
     val tri = oriented
       .join(adj.select(col("src").as("u"), col("ns").as("nu")), col("src") === col("u"))
       .join(adj.select(col("src").as("w"), col("ns").as("nw")), col("dst") === col("w"), "left")
       .select(size(array_intersect(col("nu"),
         coalesce(col("nw"), array().cast("array<bigint>")))).cast("long").as("c"))
       .agg(sum("c").as("n_triangles"))
-    nNodes.crossJoin(nEdges).crossJoin(tri).crossJoin(wedges)
+    degStats.crossJoin(nEdges).crossJoin(tri)
       .select(col("n_nodes"), col("n_edges"), col("n_triangles"),
         round(lit(3.0) * col("n_triangles") / col("wedges"), 6).as("gcc"))
   }
