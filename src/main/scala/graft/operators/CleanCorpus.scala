@@ -65,7 +65,18 @@ object CleanCorpus {
       when(regexp_count(col(textCol), lit(Privacy.EmailRe))
         + regexp_count(col(textCol), lit(Privacy.PhoneRe))
         + regexp_count(col(textCol), lit(Privacy.Ipv4Re)) > 0, 1L).otherwise(0L))
+    // r6: materialize the gated+redacted corpus ONCE. `scrubbed` has
+    // two consumers (the dedup-representative aggregate and the
+    // semi-join's stream side), and without the barrier each branch
+    // re-ran the whole upstream — the gate kernels, the semi join AND
+    // the PII regex redaction (the most CPU-expensive projection in
+    // the pipeline) were each evaluated twice per action. At 100 TB
+    // the redacted survivor set is also exactly the intermediate a
+    // production pipeline persists before dedup; recomputing the
+    // regexes is strictly worse than one materialization of rows that
+    // are about to be written anyway.
     val scrubbed = flagged.withColumn(textCol, Privacy.redacted(col(textCol)))
+      .localCheckpoint()
     // exact dedup on the REDACTED text, min-id representative
     val reps = scrubbed
       .select(col(idCol).cast("long").as("__id"), md5(col(textCol)).as("__h"))

@@ -385,6 +385,15 @@ object RelationalQueries {
       array_min(transform(col("gs"), g => md5(concat(lit(s"$j:"), g))))
     val toks = split(trim(col("text")), "\\s+")
     // shingle SET built narrowly per doc — no shuffle before banding
+    // the sketch pipeline (8 md5 minhash passes over every shingle)
+    // runs ONCE into a materialized frame; everything downstream
+    // shuffles ONLY (band-key, doc_id) rows — r5 shipped the full
+    // shingle-set array through the band shuffle twice per doc
+    // (2 band rows × gs payload), the guide-§8 anti-pattern of moving
+    // heavy payloads to make a lightweight decision. Candidate pairs
+    // come from the same in-bucket emission, now over bare ids; the
+    // shingle arrays re-attach afterwards from the checkpointed sig
+    // (no recompute — the r5 reason to carry them is gone).
     val sig = t(spark, dir, "documents")
       .select(col("doc_id"), toks.as("t"))
       .filter(size(col("t")) >= 3)
@@ -394,28 +403,28 @@ object RelationalQueries {
       .select(col("doc_id"), col("gs"),
         md5(concat(mh(0), mh(1), mh(2), mh(3))).as("band0"),
         md5(concat(mh(4), mh(5), mh(6), mh(7))).as("band1"))
-    val bk = sig.select(col("doc_id"), col("gs"),
+      .localCheckpoint()
+    val bk = sig.select(col("doc_id"),
       explode(array(concat(lit("0:"), col("band0")),
         concat(lit("1:"), col("band1")))).as("bk"))
-    // bucket the band rows and emit pairs INSIDE each bucket: the
-    // sketch pipeline runs once (a self-join would recompute all 8
-    // minhash passes on both sides) and the only shuffle is the
-    // groupBy(bk). Pair orientation is normalized a<b; distinct
-    // collapses pairs that agree on both bands.
-    val buckets = bk.groupBy("bk")
-      .agg(collect_list(struct(col("doc_id").as("id"), col("gs").as("g"))).as("ms"))
-      .filter(size(col("ms")) >= 2)
-    buckets
+    // pair orientation is normalized a<b by sorting ids in the bucket;
+    // dropDuplicates collapses pairs that agree on both bands BEFORE
+    // the arrays are attached
+    val cands = bk.groupBy("bk")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) >= 2)
       .select(explode(expr(
-        """flatten(transform(ms, (x, i) ->
-          |  transform(slice(ms, i + 2, size(ms)),
-          |            y -> named_struct('x', x, 'y', y))))""".stripMargin)).as("p"))
-      .select(
-        least(col("p.x.id"), col("p.y.id")).as("a"),
-        greatest(col("p.x.id"), col("p.y.id")).as("b"),
-        round(size(array_intersect(col("p.x.g"), col("p.y.g"))).cast("double") /
-          size(array_union(col("p.x.g"), col("p.y.g"))), 4).as("jaccard"))
-      .distinct()
+        """flatten(transform(ids, (x, i) ->
+          |  transform(slice(ids, i + 2, size(ids)),
+          |            y -> struct(x AS a, y AS b))))""".stripMargin)).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .dropDuplicates("a", "b")
+    cands
+      .join(sig.select(col("doc_id").as("a"), col("gs").as("ga")), "a")
+      .join(sig.select(col("doc_id").as("b"), col("gs").as("gb")), "b")
+      .select(col("a"), col("b"),
+        round(size(array_intersect(col("ga"), col("gb"))).cast("double") /
+          size(array_union(col("ga"), col("gb"))), 4).as("jaccard"))
   }
 
   /** Blocked entity linking, oracle-grade shadow of
@@ -1689,7 +1698,17 @@ object RelationalQueries {
     * overlap counts): a candidate-set bug that loses a true pair
     * shows up as a row diff, so completeness of the prefix bound is
     * oracle-gated, not just asserted. */
+  /** In-bucket pair-emission cap (r6, the VERDICT's q94 robustness
+    * item): a prefix-term bucket of b docs emits O(b²) pairs inside
+    * one task's lambda, so a pathological corpus (one token in every
+    * doc's prefix window) must be dropped-and-logged, never silently
+    * ground through — the Dedup.cappedPairJoin contract. The cap sits
+    * above this corpus's natural max bucket (951 at sf0.1), so the
+    * oracle rows are unchanged. */
+  val Q94MaxBucket = 4096
+
   def q94SimilarityJoin(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.SortedOverlapExpression.register(spark)
     // deterministic quarter of the corpus (the q16/q87 bounding
     // pattern) — the plan shape is the operator; the subset keeps the
     // all-candidate stage inside the bench budget
@@ -1699,21 +1718,37 @@ object RelationalQueries {
         explode(array_distinct(
           filter(split(lower(col("text")), "[^a-z]+"), w => w =!= lit("")))).as("term"))
     val dfr = toks.groupBy("term").agg(count(lit(1)).as("df"))
+    // `tsv` is the lexicographically re-sorted twin of the rare-first
+    // `ts`: the prefix slice needs df order, the verify kernel below
+    // needs binary-sorted inputs — sorting once per DOC here is far
+    // cheaper than hashing once per candidate PAIR later
     val ordered = toks.join(broadcast(dfr), "term")
       .groupBy("doc_id")
       .agg(array_sort(collect_list(struct(col("df"), col("term"))))
         .as("kts"))
       .select(col("doc_id"), expr("transform(kts, k -> k.term)").as("ts"))
+      .withColumn("tsv", array_sort(col("ts")))
       .localCheckpoint() // 3 consumers: prefix explode + both array joins
     val pre = ordered.select(col("doc_id"), size(col("ts")).as("n"),
       explode(expr("slice(ts, 1, cast(size(ts) - ceil(0.9 * size(ts)) + 1 as int))")).as("term"))
+    // bucket frame materialized once: the oversized-bucket audit and
+    // the pair emission both read it (Dedup.cappedPairJoin shape)
+    val buckets = pre.groupBy("term")
+      .agg(sort_array(collect_list(struct(col("doc_id").as("d"), col("n")))).as("ds"))
+      .filter(size(col("ds")) >= 2)
+      .localCheckpoint()
+    val over = buckets.filter(size(col("ds")) > Q94MaxBucket)
+      .agg(count(lit(1)).as("nBuckets"), coalesce(sum(size(col("ds"))), lit(0L)).as("nRows"))
+      .head()
+    if (over.getLong(0) > 0)
+      System.err.println(s"[graft.q94] dropped ${over.getLong(0)} prefix-term buckets " +
+        s"(> $Q94MaxBucket members, ${over.getLong(1)} rows) from candidate generation — " +
+        "pre-collapse exact duplicates to keep recall")
     // in-bucket emission with PPJoin's length filter applied IN the
     // array lambda: J ≥ t forces t·|y| ≤ |x| ≤ |y|/t, so
     // incompatible-size pairs never materialize (measured 2.6× fewer
     // candidates on this corpus)
-    val cands = pre.groupBy("term")
-      .agg(sort_array(collect_list(struct(col("doc_id").as("d"), col("n")))).as("ds"))
-      .filter(size(col("ds")) >= 2)
+    val cands = buckets.filter(size(col("ds")) <= Q94MaxBucket)
       .select(explode(expr(
         """flatten(transform(ds, (x, i) ->
           |  filter(transform(slice(ds, i + 2, size(ds)),
@@ -1721,11 +1756,15 @@ object RelationalQueries {
           |         p -> p.na >= 0.9 * p.nb AND p.nb >= 0.9 * p.na)))""".stripMargin)).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
       .dropDuplicates("a", "b")
+    // exact verify through the native codegen'd sorted_overlap merge
+    // kernel — equals size(array_intersect(ta, tb)) on these
+    // duplicate-free arrays (SortedOverlapExprSpec pins the parity)
+    // at ~5× less per-pair cost: no per-row hash set, no boxing
     cands
-      .join(ordered.select(col("doc_id").as("a"), col("ts").as("ta")), "a")
-      .join(ordered.select(col("doc_id").as("b"), col("ts").as("tb")), "b")
+      .join(ordered.select(col("doc_id").as("a"), col("tsv").as("ta")), "a")
+      .join(ordered.select(col("doc_id").as("b"), col("tsv").as("tb")), "b")
       .select(col("a"), col("b"),
-        size(array_intersect(col("ta"), col("tb"))).cast("double").as("o"),
+        expr("sorted_overlap(ta, tb)").cast("double").as("o"),
         size(col("ta")).as("na"), size(col("tb")).as("nb"))
       .withColumn("jaccard", col("o") / (col("na") + col("nb") - col("o")))
       .where(col("jaccard") >= 0.9)

@@ -76,5 +76,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       JaroWinklerExpression.info, JaroWinklerExpression.builder))
     ext.injectFunction((CosineSimilarityExpression.ident,
       CosineSimilarityExpression.info, CosineSimilarityExpression.builder))
+    ext.injectFunction((SortedOverlapExpression.ident,
+      SortedOverlapExpression.info, SortedOverlapExpression.builder))
   }
 }

@@ -1,0 +1,80 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
+
+/** Merge-count kernel for the codegen'd sorted-overlap expression.
+  * Top-level object ⇒ static forwarder, so generated Java calls
+  * `graft.plans.SortedOverlapOps.overlap(a, b)` directly (the
+  * CosineOps pattern). Inputs MUST be sorted ascending in UTF8String
+  * binary order (what `array_sort` produces for strings) and
+  * null-element-free; the count then equals
+  * `size(array_intersect(a, b))` on duplicate-free inputs, computed
+  * by a two-pointer merge — no per-row hash set, no boxing. */
+object SortedOverlapOps {
+  def overlap(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var n = 0
+    while (i < na && j < nb) {
+      val c = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      if (c == 0) { n += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    n
+  }
+}
+
+/** sorted_overlap(array<string>, array<string>) → int: the number of
+  * common elements of two SORTED duplicate-free string arrays — the
+  * exact-similarity-join verify kernel (q94). The generic
+  * `size(array_intersect(ta, tb))` spelling builds a hash set over one
+  * side PER ROW (≈10 µs/pair on 80-term documents, 2.2 s of q94's
+  * sf0.1 wall across 224k candidate pairs); this is one linear merge
+  * over both ArrayData buffers with UTF8String.compareTo (binary
+  * order — identical to array_sort's ordering), called statically
+  * from generated code. Null arrays → null via BinaryExpression's
+  * null-safe contract, matching array_intersect. */
+case class SortedOverlapExpression(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  private def isStringArray(dt: DataType): Boolean = dt match {
+    case ArrayType(_: StringType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isStringArray(left.dataType) && isStringArray(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"sorted_overlap expects (array<string>, array<string>), got (${left.dataType}, ${right.dataType})")
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "sorted_overlap"
+
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    SortedOverlapOps.overlap(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.plans.SortedOverlapOps.overlap($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedOverlapExpression =
+    copy(left = newLeft, right = newRight)
+}
+
+object SortedOverlapExpression {
+  val ident: FunctionIdentifier = FunctionIdentifier("sorted_overlap")
+  val info: ExpressionInfo = new ExpressionInfo(
+    classOf[SortedOverlapExpression].getCanonicalName, "sorted_overlap")
+  val builder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 2, s"sorted_overlap expects 2 arguments, got ${exprs.length}")
+    SortedOverlapExpression(exprs(0), exprs(1))
+  }
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction("sorted_overlap", builder, "built-in")
+}
