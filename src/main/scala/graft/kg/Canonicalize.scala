@@ -107,7 +107,11 @@ object Canonicalize {
         .select(col("vertex"), col("label"), col("newLabel"))
         .localCheckpoint()
       changed = joined.filter(col("newLabel") < col("label")).count()
-      labels = joined.select(col("vertex"), col("newLabel").as("label")).localCheckpoint()
+      // next round's labels are a NARROW projection of the joined
+      // frame that was just materialized — lineage is already cut
+      // there, so the r5 second localCheckpoint per round was a
+      // redundant extra job (r6: 3 jobs/round → 2)
+      labels = joined.select(col("vertex"), col("newLabel").as("label"))
       iter += 1
     }
     if (changed > 0)

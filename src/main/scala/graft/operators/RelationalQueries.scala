@@ -1065,17 +1065,21 @@ object RelationalQueries {
     * with array `transform`/`slice` (no self-join — the oracle's
     * self-join spelling rescans and reshuffles the context table),
     * and the marginals are a tiny broadcast + one-row cross barrier. */
-  /** Distinct (user_id, day, event_type) context memberships. */
-  private def eventContexts(spark: SparkSession, dir: String): DataFrame =
+  /** Per-(user, day) context SETS in one pass: collect_set dedups the
+    * raw event stream during partial aggregation, so the r5 pipeline's
+    * standalone distinct (a full extra shuffle of the event rows,
+    * recomputed once per consumer) is folded into the one groupBy
+    * every consumer already needed. */
+  private def eventContextSets(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "events")
       .select(col("user_id"), to_date(col("ts")).as("d"), col("event_type"))
-      .distinct()
-
-  /** Co-occurrence pair counts (ea < eb) over (user, day) contexts —
-    * ONE groupBy + in-array pair emission, no context self-join. */
-  private def cooccurrencePairs(ue: DataFrame): DataFrame =
-    ue.groupBy("user_id", "d")
+      .groupBy("user_id", "d")
       .agg(sort_array(collect_set(col("event_type"))).as("types"))
+
+  /** Co-occurrence pair counts (ea < eb) via in-array pair emission
+    * over the context sets — no context self-join. */
+  private def cooccurrencePairs(sets: DataFrame): DataFrame =
+    sets
       .select(explode(expr(
         "flatten(transform(types, (x, i) -> " +
           "transform(slice(types, i + 2, size(types)), y -> struct(x AS ea, y AS eb))))"))
@@ -1084,11 +1088,16 @@ object RelationalQueries {
       .groupBy("ea", "eb").agg(count(lit(1)).as("nab"))
 
   def q67EventPmi(spark: SparkSession, dir: String): DataFrame = {
-    val ue = eventContexts(spark, dir)
-    val ctx = ue.select("user_id", "d").distinct()
-    val nCtx = ctx.agg(count(lit(1)).as("n_ctx"))
-    val marginals = ue.groupBy("event_type").agg(count(lit(1)).as("n_t"))
-    cooccurrencePairs(ue)
+    // ONE event shuffle feeds all three aggregates: nCtx is the row
+    // count of the set frame, the marginals explode its arrays (each
+    // type appears once per context, exactly the old distinct-
+    // membership count), pairs are the in-array emission — r5 ran the
+    // scan+distinct three times over
+    val sets = eventContextSets(spark, dir).localCheckpoint()
+    val nCtx = sets.agg(count(lit(1)).as("n_ctx"))
+    val marginals = sets.select(explode(col("types")).as("event_type"))
+      .groupBy("event_type").agg(count(lit(1)).as("n_t"))
+    cooccurrencePairs(sets)
       .join(broadcast(marginals.select(col("event_type").as("ea"), col("n_t").as("na"))), Seq("ea"))
       .join(broadcast(marginals.select(col("event_type").as("eb"), col("n_t").as("nb"))), Seq("eb"))
       .crossJoin(nCtx)
@@ -1111,7 +1120,7 @@ object RelationalQueries {
     // `pairs` twice, and without the checkpoint each branch re-runs
     // the whole co-occurrence pipeline (2 shuffles over events) inside
     // PageRank's edge materialization
-    val pairs = cooccurrencePairs(eventContexts(spark, dir)).localCheckpoint()
+    val pairs = cooccurrencePairs(eventContextSets(spark, dir)).localCheckpoint()
     val edges = pairs.select(col("ea").as("src"), col("eb").as("dst"),
         col("nab").cast("double").as("weight"))
       .union(pairs.select(col("eb").as("src"), col("ea").as("dst"),
@@ -1359,8 +1368,13 @@ object RelationalQueries {
     * adjacency intersection (details inline); wedges = Σ d(d−1)/2
     * over the aggregate-sized degree frame. */
   def q80TriangleCount(spark: SparkSession, dir: String): DataFrame = {
+    // no pre-distinct on (order, part): collect_set dedups parts
+    // within each order during the partial aggregation anyway, so the
+    // r5 distinct was a full extra exchange of the line items for
+    // nothing (guide §2.4: "a distinct on data that is already
+    // unique" — here, unique-ified one operator later)
     val li = t(spark, dir, "lineitem")
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
     val pairs = li.groupBy("ok").agg(sort_array(collect_set("pk")).as("ps"))
       .select(explode(expr(
         "flatten(transform(ps, (p, i) -> transform(slice(ps, i + 2, size(ps)), q -> struct(p AS a, q AS b))))")).as("e"))
