@@ -22,6 +22,10 @@ object Experiments {
       f1: Double,
       precision: Double,
       recall: Double,
+      // OVERLAPPED wall time: arms (and, since r6, runs) evaluate
+      // concurrently, so this includes scheduler contention from
+      // co-running arms — comparable within one grid invocation only,
+      // not across protocol changes (ADVICE r5)
       elapsed_sec: Double,
       fst: String = "sentence")
 

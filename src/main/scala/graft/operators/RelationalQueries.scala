@@ -1413,13 +1413,19 @@ object RelationalQueries {
         when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
           col("b")).otherwise(col("a")).as("dst"))
       .localCheckpoint()
-    val adj = oriented.groupBy("src").agg(collect_list("dst").as("ns"))
+    // adjacency lists come out SORTED so the per-edge intersection can
+    // run through the native sorted_overlap merge kernel (r6) instead
+    // of array_intersect's per-row hash set — one sort per NODE at
+    // aggregate size buys a linear merge per EDGE; counts are
+    // identical on these duplicate-free lists
+    graft.plans.SortedOverlapExpression.register(spark)
+    val adj = oriented.groupBy("src").agg(sort_array(collect_list("dst")).as("ns"))
       .localCheckpoint()
     val tri = oriented
       .join(adj.select(col("src").as("u"), col("ns").as("nu")), col("src") === col("u"))
       .join(adj.select(col("src").as("w"), col("ns").as("nw")), col("dst") === col("w"), "left")
-      .select(size(array_intersect(col("nu"),
-        coalesce(col("nw"), array().cast("array<bigint>")))).cast("long").as("c"))
+      .select(expr("sorted_overlap(nu, coalesce(nw, cast(array() as array<bigint>)))")
+        .cast("long").as("c"))
       .agg(sum("c").as("n_triangles"))
     degStats.crossJoin(nEdges).crossJoin(tri)
       .select(col("n_nodes"), col("n_edges"), col("n_triangles"),

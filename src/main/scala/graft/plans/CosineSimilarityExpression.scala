@@ -25,8 +25,12 @@ object CosineOps {
       dot += x * y; na += x * x; nb += y * y
       i += 1
     }
-    // norms cover the FULL vectors (zip_with truncates the dot to the
-    // shorter side but aggregate(v,...) walks each side whole)
+    // norms cover the FULL vectors (zip_with null-pads the shorter
+    // side, so the OLD chain's dot — hence its whole result — was NULL
+    // for ragged inputs; this expression instead returns a finite
+    // number: dot over min length, norms over full vectors.
+    // Bit-identity with the old chain therefore holds for EQUAL-length
+    // vectors only — which every current call site guarantees)
     var j = n
     while (j < a.numElements()) { val x = a.getDouble(j); na += x * x; j += 1 }
     var k = n

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
 
 /** Merge-count kernel for the codegen'd sorted-overlap expression.
   * Top-level object ⇒ static forwarder, so generated Java calls
@@ -24,6 +24,19 @@ object SortedOverlapOps {
       val c = a.getUTF8String(i).compareTo(b.getUTF8String(j))
       if (c == 0) { n += 1; i += 1; j += 1 }
       else if (c < 0) i += 1
+      else j += 1
+    }
+    n
+  }
+
+  /** The long-array twin (q80's adjacency-intersection hot path). */
+  def overlapLong(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var n = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { n += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
       else j += 1
     }
     n
@@ -47,19 +60,31 @@ case class SortedOverlapExpression(left: Expression, right: Expression)
     case ArrayType(_: StringType, _) => true
     case _ => false
   }
+  private def isLongArray(dt: DataType): Boolean = dt match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
   override def checkInputDataTypes(): TypeCheckResult =
-    if (isStringArray(left.dataType) && isStringArray(right.dataType))
+    if ((isStringArray(left.dataType) && isStringArray(right.dataType)) ||
+        (isLongArray(left.dataType) && isLongArray(right.dataType)))
       TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"sorted_overlap expects (array<string>, array<string>), got (${left.dataType}, ${right.dataType})")
+      s"sorted_overlap expects two array<string> or two array<bigint> inputs, " +
+        s"got (${left.dataType}, ${right.dataType})")
   override def dataType: DataType = IntegerType
   override def prettyName: String = "sorted_overlap"
 
+  private def kernel: String =
+    if (isLongArray(left.dataType)) "overlapLong" else "overlap"
+
   override protected def nullSafeEval(l: Any, r: Any): Any =
-    SortedOverlapOps.overlap(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+    if (isLongArray(left.dataType))
+      SortedOverlapOps.overlapLong(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+    else
+      SortedOverlapOps.overlap(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.plans.SortedOverlapOps.overlap($a, $b)")
+    defineCodeGen(ctx, ev, (a, b) => s"graft.plans.SortedOverlapOps.$kernel($a, $b)")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): SortedOverlapExpression =

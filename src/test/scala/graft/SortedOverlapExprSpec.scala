@@ -26,6 +26,21 @@ class SortedOverlapExprSpec extends AnyFunSuite {
     got.foreach { case (n, g) => assert(n == g) }
   }
 
+  test("long-array variant ≡ size(array_intersect) on sorted distinct fuzz arrays") {
+    import spark.implicits._
+    SortedOverlapExpression.register(spark)
+    val rnd = new scala.util.Random(13)
+    def arr(): Array[Long] =
+      Array.fill(rnd.nextInt(50))(rnd.nextInt(80).toLong).distinct.sorted
+    val rows = Seq.fill(400)((arr(), arr())) ++
+      Seq((Array.empty[Long], Array(1L, 2L)), (Array.empty[Long], Array.empty[Long]))
+    val got = rows.toDF("a", "b")
+      .select(expr("sorted_overlap(a, b)").as("native"),
+        size(array_intersect(col("a"), col("b"))).as("generic"))
+      .as[(Int, Int)].collect()
+    got.foreach { case (n, g) => assert(n == g) }
+  }
+
   test("null inputs yield null (BinaryExpression null-safe contract)") {
     import spark.implicits._
     SortedOverlapExpression.register(spark)
