@@ -160,17 +160,21 @@ object Canonicalize {
       .toDF("src", "dst")
     val aliases = aliasEdges(catalogue)
       .select(concat(lit("e:"), col("src")).as("src"), concat(lit("e:"), col("dst")).as("dst"))
-    // cheap COUNT probe picks the path; rows are collected only once
-    // the local path is chosen (never fetch-and-discard hundreds of MB
-    // just to decide). The edge set is cached across probe + collect.
+    // bounded-probe collect picks the path in ONE job (the
+    // EntityLinking.link pattern, r6 — the r5 count-then-collect pair
+    // cost an extra job per pipeline run): fetch at most threshold+1
+    // rows; if the limit did not truncate, those rows ARE the full
+    // edge set (union-find and the canonical pick are row-order
+    // independent, so the limit's arbitrary order is immaterial).
+    // A big graph still never collects — the probe stops at the cap.
     val edges = linkEdges.union(aliases).cache()
     try {
-      if (edges.count() <= LocalEdgeThreshold) {
-        val local = edges.as[(String, String)].collect()
-        spark.createDataset(canonicalMapLocal(local.toSeq)).toDF("member", "canonical")
-      } else {
+      val probe = edges.as[(String, String)]
+        .limit(LocalEdgeThreshold.toInt + 1).collect()
+      if (probe.length <= LocalEdgeThreshold)
+        spark.createDataset(canonicalMapLocal(probe.toSeq)).toDF("member", "canonical")
+      else
         canonicalMapDistributed(edges)
-      }
     } finally edges.unpersist()
   }
 

@@ -103,9 +103,14 @@ object KGPipeline {
     val spark = extracted.sparkSession
     import spark.implicits._
     val canonM = canon.filter(org.apache.spark.sql.functions.col("member").startsWith("m:"))
-    if (canonM.count() > LocalCanonThreshold)
+    // bounded-probe collect (one job instead of count + collect, r6):
+    // if the limit did not truncate, the probe IS the full map — the
+    // Map is unordered, so the limit's arbitrary row order is
+    // immaterial; an over-threshold map never collects past the cap
+    val probe = canonM.limit(LocalCanonThreshold.toInt + 1).collect()
+    if (probe.length > LocalCanonThreshold)
       return materializeTriples(verified, relations, canon)
-    val map = canonM.collect().map(r => r.getString(0).substring(2) -> r.getString(1)).toMap
+    val map = probe.map(r => r.getString(0).substring(2) -> r.getString(1)).toMap
     val bc = spark.sparkContext.broadcast(map)
     extracted.flatMap { e => triplesOf(e, bc.value) }.distinct()
   }
