@@ -1384,7 +1384,7 @@ object RelationalQueries {
     // both orientation joins) — materialize it once (it is aggregate-
     // sized: one row per node) instead of re-running the union+groupBy
     // over the edge table per consumer; n_nodes and wedges then come
-    // out of ONE aggregate pass over it (plan went 50 Exchanges → 13)
+    // out of ONE aggregate pass over it (plan went 50 Exchanges → 18)
     val deg = pairs.select(col("a").as("v")).unionAll(pairs.select(col("b").as("v")))
       .groupBy("v").agg(count(lit(1)).as("d"))
       .localCheckpoint()
